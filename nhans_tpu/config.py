@@ -1,0 +1,288 @@
+"""Typed configuration for N-HANS/TPU.
+
+The reference spreads a global ``tf.flags.FLAGS`` singleton across modules
+(reference N_HANS___Selective_Noise/main.py:41-72, reader.py:33-41,
+apply.py:29-35).  Here everything lives in explicit dataclasses; the CLI
+layer (``nhans_tpu.cli``) maps the documented flag names (``--lr``,
+``--train_mb``, ``--input``, ``--pos``, ``--neg``, ...) onto these fields so
+reference users keep their muscle memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioConfig:
+    """Audio front-end contract.
+
+    16 kHz / 25 ms frame / 10 ms hop / 400-pt FFT -> 201 bins
+    (reference reader.py:37,237-238, README.md:42).
+    """
+
+    sample_rate: int = 16000
+    frame_ms: float = 25.0
+    hop_ms: float = 10.0
+    log_eps: float = 1e-5  # log(mag + 1e-5), reference reader.py:349
+
+    @property
+    def frame_length(self) -> int:
+        return int(self.sample_rate * self.frame_ms / 1000.0)  # 400
+
+    @property
+    def frame_step(self) -> int:
+        return int(self.sample_rate * self.hop_ms / 1000.0)  # 160
+
+    @property
+    def fft_length(self) -> int:
+        return self.frame_length
+
+    @property
+    def num_features(self) -> int:
+        return self.fft_length // 2 + 1  # 201
+
+    def num_frames(self, num_samples: int) -> int:
+        """Number of full STFT frames for a signal of `num_samples`."""
+        if num_samples < self.frame_length:
+            return 0
+        return 1 + (num_samples - self.frame_length) // self.frame_step
+
+    def trim_to_whole_frames(self, num_samples: int) -> int:
+        """Length after cutting the tail to a whole number of frames
+        (reference reader.py:195-198)."""
+        rem = (num_samples - self.frame_length) % self.frame_step
+        return num_samples - rem if rem else num_samples
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the conditional ResNet (reference main.py:98-256)."""
+
+    window_frames: int = 35        # reference reader.py:35
+    context_frames: int = 200      # reference reader.py:34
+    num_features: int = 201
+    embedding_dim: int = 512
+    w_std: float = 0.01            # reference main.py:68
+    b_init: float = 0.0            # reference main.py:69
+    bn_decay: float = 0.95         # reference main.py:70
+    bn_eps: float = 1e-3           # reference blocks.py:102
+    pos_embed_hidden: int = 50     # cont_embed MLP width, reference main.py:130-136
+    # Main tower: (kernel, stride, channels) per block, reference main.py:221-229
+    main_blocks: Sequence = (
+        (4, 1, 64), (4, 1, 64),
+        (4, 2, 128), (4, 1, 128),
+        (3, 2, 256), (3, 1, 256),
+        (3, 2, 512), (3, 1, 512),
+    )
+    # Context tower: (kernel_hw, stride_hw, channels), reference main.py:194-198
+    context_blocks: Sequence = (
+        ((8, 4), (3, 2), 64),
+        ((8, 4), (3, 2), 128),
+        ((4, 4), (1, 1), 256),
+        ((4, 4), (1, 2), 512),
+    )
+    # Frequency-weighted MSE: linspace(2 -> 1) over bins, reference main.py:245-248
+    loss_weight_hi: float = 2.0
+    loss_weight_lo: float = 1.0
+    # Compute dtype: float32 for strict parity; bfloat16 for peak MXU throughput.
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    """A task = model family + mixing recipe.
+
+    ``denoiser``  : two noise contexts (pos = keep, neg = suppress), mixing
+                    mixes clean + pos + neg (reference Selective_Noise).
+    ``separator`` : two speaker contexts (target, interference), mixing mixes
+                    clean + interference (reference Source_Separation).
+    """
+
+    name: str = "denoiser"
+    snr_set: Sequence[int] = (-3, 0, 3, 5, 8)  # reference reader.py:201
+    two_noise_mixing: bool = True              # clean + pos + neg
+
+    @staticmethod
+    def denoiser() -> "TaskConfig":
+        return TaskConfig(name="denoiser", snr_set=(-3, 0, 3, 5, 8),
+                          two_noise_mixing=True)
+
+    @staticmethod
+    def separator() -> "TaskConfig":
+        # reference N_HANS___Source_Separation/reader.py:138
+        return TaskConfig(name="separator", snr_set=(-5, -3, -1, 0, 1, 3, 5),
+                          two_noise_mixing=False)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline (reference reader.py)."""
+
+    speech_wav_dir: str = "./speech_wav_dir/"
+    noise_wav_dir: str = "./noise_wav_dir/"
+    eval_seeds: str = "valid"      # reference reader.py:38
+    random_slices: int = 50        # crops per utterance, reference reader.py:36
+    # Crops taken per utterance *per device step* in the TPU pipeline.  The
+    # reference enqueues 50 crops/utt into a shuffle queue; on TPU we mix on
+    # device, so we take fewer crops from more utterances per batch for
+    # better decorrelation.
+    slices_per_step: int = 4
+    # Utterance bucket in samples (static shape for XLA). 163600 = 10.22 s,
+    # chosen so (163600 - 400) % 160 == 0 (whole frames).
+    max_samples: int = 163600
+    num_workers: int = 16          # reference main.py:86 (16 enqueue threads)
+    prefetch: int = 2
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training driver (reference main.py:41-72,361-608)."""
+
+    alg: str = "sgd"
+    lr: float = 0.001
+    mom: float = 0.0
+    train_mb: int = 64
+    eval_mb: int = 100
+    batches: int = 3_000_000
+    eval_every: int = 5000
+    train_monitor_every: int = 1000
+    checkpoints_to_keep: int = 1_000_000
+    restore_path: str = ""
+    model_name: str = "nhans"
+    checkpoint_dir: str = "./checkpoints"
+    summaries_dir: str = "./summaries"
+    dump_results: str = "./dump"
+    wav_dump_folder: str = "./wav_dump/"
+    eval_before_training: bool = False
+    eval_after_training: bool = True
+    # TPU-specific
+    data_axis: int = 0             # mesh data-parallel axis size; 0 = all devices
+    donate_state: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    task: TaskConfig = dataclasses.field(default_factory=TaskConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    @staticmethod
+    def denoiser(**overrides) -> "Config":
+        return Config(task=TaskConfig.denoiser(), **overrides)
+
+    @staticmethod
+    def separator(**overrides) -> "Config":
+        return Config(task=TaskConfig.separator(), **overrides)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def add_reference_flags(parser, *, inference: bool = False,
+                        task: str = "denoiser") -> None:
+    """Register the reference's documented flag names on an argparse parser.
+
+    Flag table: reference README.md:76-99; definitions main.py:41-72,
+    reader.py:33-41, apply.py:29-35.
+    """
+    # fmt: off
+    if inference:
+        defaults = {
+            "denoiser": dict(input="./audio_examples/mixed.wav",
+                             neg="./audio_examples/game_noise.wav",
+                             pos="./audio_examples/Silent.wav",
+                             output="./audio_examples/denoised.wav"),
+            "separator": dict(input="./audio_examples/mixed.wav",
+                              neg="./audio_examples/noise_speaker.wav",
+                              pos="./audio_examples/target_speaker.wav",
+                              output="./audio_examples/separated.wav"),
+        }[task]
+        parser.add_argument("--input", default=defaults["input"],
+                            help="mixed wav (or a directory of wavs)")
+        parser.add_argument("--neg", default=defaults["neg"],
+                            help="negative/interference recording")
+        parser.add_argument("--pos", default=defaults["pos"],
+                            help="positive/target recording")
+        parser.add_argument("--output", default=defaults["output"],
+                            help="output wav (or directory in folder mode)")
+        parser.add_argument("--compensate", type=float, default=0.0,
+                            help="energy compensation factor (reference apply.py:34)")
+        parser.add_argument("--ac", action="store_true", default=False,
+                            help="auto compensation from SNR estimate (apply.py:35)")
+        parser.add_argument("--checkpoint", default="",
+                            help="explicit checkpoint path (replaces the "
+                                 "reference's hard-coded ./trained_model)")
+    parser.add_argument("--Fs", type=int, default=16000)
+    parser.add_argument("--context_frames", type=int, default=200)
+    parser.add_argument("--window_frames", type=int, default=35)
+    parser.add_argument("--random_slices", type=int, default=50)
+    parser.add_argument("--eval_seeds", default="valid")
+    parser.add_argument("--wav_dump_folder", default="./wav_dump/")
+    parser.add_argument("--speech_wav_dir", default="./speech_wav_dir/")
+    parser.add_argument("--noise_wav_dir", default="./noise_wav_dir/")
+    if not inference:
+        parser.add_argument("--eval_before_training", action="store_true", default=False)
+        parser.add_argument("--eval_after_training", action="store_true", default=True)
+        parser.add_argument("--checkpoints_to_keep", type=int, default=1000000)
+        parser.add_argument("--restore_path", default="")
+        parser.add_argument("--model_name", default="nhans")
+        parser.add_argument("--checkpoint_dir", default="./checkpoints")
+        parser.add_argument("--summaries_dir", default="./summaries")
+        parser.add_argument("--dump_results", default="./dump")
+        parser.add_argument("--eval_every", type=int, default=5000)
+        parser.add_argument("--train_monitor_every", type=int, default=1000)
+        parser.add_argument("--batches", type=int, default=3000000)
+        parser.add_argument("--alg", default="sgd")
+        parser.add_argument("--lr", type=float, default=0.001)
+        parser.add_argument("--mom", type=float, default=0.0)
+        parser.add_argument("--w_std", type=float, default=0.01)
+        parser.add_argument("--b_init", type=float, default=0.0)
+        parser.add_argument("--bn_decay", type=float, default=0.95)
+        parser.add_argument("--train_mb", type=int, default=64)
+        parser.add_argument("--eval_mb", type=int, default=100)
+    # fmt: on
+
+
+def config_from_args(args, task: str = "denoiser") -> Config:
+    """Build a Config from parsed reference-style CLI args."""
+    task_cfg = TaskConfig.denoiser() if task == "denoiser" else TaskConfig.separator()
+    audio = AudioConfig(sample_rate=getattr(args, "Fs", 16000))
+    model = ModelConfig(
+        window_frames=getattr(args, "window_frames", 35),
+        context_frames=getattr(args, "context_frames", 200),
+        num_features=audio.num_features,
+        w_std=getattr(args, "w_std", 0.01),
+        b_init=getattr(args, "b_init", 0.0),
+        bn_decay=getattr(args, "bn_decay", 0.95),
+    )
+    data = DataConfig(
+        speech_wav_dir=getattr(args, "speech_wav_dir", "./speech_wav_dir/"),
+        noise_wav_dir=getattr(args, "noise_wav_dir", "./noise_wav_dir/"),
+        eval_seeds=getattr(args, "eval_seeds", "valid"),
+        random_slices=getattr(args, "random_slices", 50),
+    )
+    train = TrainConfig(
+        alg=getattr(args, "alg", "sgd"),
+        lr=getattr(args, "lr", 0.001),
+        mom=getattr(args, "mom", 0.0),
+        train_mb=getattr(args, "train_mb", 64),
+        eval_mb=getattr(args, "eval_mb", 100),
+        batches=getattr(args, "batches", 3_000_000),
+        eval_every=getattr(args, "eval_every", 5000),
+        train_monitor_every=getattr(args, "train_monitor_every", 1000),
+        checkpoints_to_keep=getattr(args, "checkpoints_to_keep", 1_000_000),
+        restore_path=getattr(args, "restore_path", ""),
+        model_name=getattr(args, "model_name", "nhans"),
+        checkpoint_dir=getattr(args, "checkpoint_dir", "./checkpoints"),
+        summaries_dir=getattr(args, "summaries_dir", "./summaries"),
+        dump_results=getattr(args, "dump_results", "./dump"),
+        wav_dump_folder=getattr(args, "wav_dump_folder", "./wav_dump/"),
+        eval_before_training=getattr(args, "eval_before_training", False),
+        eval_after_training=getattr(args, "eval_after_training", True),
+    )
+    return Config(audio=audio, model=model, task=task_cfg, data=data, train=train)
