@@ -1,0 +1,115 @@
+"""Shared CLI machinery for nhans_denoiser / nhans_separator.
+
+Improvements over the reference (documented divergences, SURVEY.md §7):
+* named model outputs + an explicit ``--checkpoint`` flag instead of the
+  auto-generated ``add_72:0`` tensor and the hard-coded ``./trained_model``
+  path (reference apply.py:430-437),
+* folder-batch mode and automatic format conversion, which the reference
+  README promises (README.md:42,59-66) but only ships in the PyPI-only
+  load_model.py,
+* derived output names use splitext instead of assuming the output
+  filename ends in ``denoised.wav`` (reference apply.py:457-470).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from nhans_tpu.config import Config, add_reference_flags, config_from_args
+from nhans_tpu.utils import wavio
+
+
+def _sidecar(path: str, tag: str) -> str:
+    base, ext = os.path.splitext(path)
+    return f"{base}_{tag}{ext or '.wav'}"
+
+
+def load_enhancer(cfg: Config, checkpoint: str, window_chunk: int = 256):
+    import jax
+    from nhans_tpu.infer.enhance import Enhancer
+    from nhans_tpu.models import init_variables
+    from nhans_tpu.train.checkpoint import load_variables
+
+    _, variables = init_variables(cfg, jax.random.PRNGKey(0), train=False)
+    if checkpoint:
+        template = jax.tree_util.tree_map(np.asarray, variables)
+        variables = load_variables(checkpoint, template)
+    else:
+        print("WARNING: no --checkpoint given; using randomly initialized "
+              "weights (identity enhancement). Train a model or import the "
+              "published TF checkpoint with nhans_tpu.compat.",
+              file=sys.stderr)
+    return Enhancer(cfg, variables, window_chunk=window_chunk)
+
+
+def _read(path: str, fs: int) -> np.ndarray:
+    return wavio.read_for_processing(path, fs)
+
+
+def _silent(fs: int) -> np.ndarray:
+    """Implicit positive context for plain denoising: silence
+    (reference apply.py:478-481 uses the bundled Silent.wav)."""
+    return np.zeros(fs, np.float64)
+
+
+def run(task: str) -> None:
+    parser = argparse.ArgumentParser(
+        prog=f"nhans_{task}",
+        description=f"N-HANS/TPU {task} (TPU-native rebuild)")
+    add_reference_flags(parser, inference=True, task=task)
+    args = parser.parse_args()
+    cfg = (Config.denoiser() if task == "denoiser" else Config.separator())
+    fs = args.Fs
+
+    enhancer = load_enhancer(cfg, args.checkpoint)
+
+    if os.path.isdir(args.input):
+        inputs = wavio.list_wavs(args.input)
+        if not inputs:
+            print(f"no wavs under {args.input}", file=sys.stderr)
+            sys.exit(1)
+        os.makedirs(args.output, exist_ok=True)
+        outputs = [os.path.join(args.output, os.path.basename(p))
+                   for p in inputs]
+    else:
+        inputs, outputs = [args.input], [args.output]
+
+    pos = (_read(args.pos, fs) if args.pos and os.path.exists(args.pos)
+           else _silent(fs))
+    neg = _read(args.neg, fs)
+
+    # Context slot order differs per task (see NHANSNet docstring):
+    # denoiser: ctx_a = pos noise, ctx_b = neg noise (reference
+    # Selective_Noise/apply.py:444-446); separator: ctx_a = interference
+    # (--neg), ctx_b = target speaker (--pos)
+    # (Source_Separation/apply.py:99-101).
+    if task == "denoiser":
+        ctx_a, ctx_b = pos, neg
+    else:
+        ctx_a, ctx_b = neg, pos
+
+    # folder mode batches utterances through one XLA program
+    batch = 8 if len(inputs) > 1 else 1
+    for i in range(0, len(inputs), batch):
+        chunk_in = inputs[i:i + batch]
+        waves = [_read(p, fs) for p in chunk_in]
+        res = enhancer.enhance_batch(
+            waves, [ctx_a] * len(waves), [ctx_b] * len(waves))
+        for j, out_path in enumerate(outputs[i:i + batch]):
+            den = res["denoised"][j]
+            mix = res["mixed_processed"][j]
+            rem = res["removed"][j]
+            snr_est = float(res["snr_est"][j])
+            wavio.write_wav(out_path, den, fs)
+            wavio.write_wav(_sidecar(out_path, "mixed_processed"), mix, fs)
+            wavio.write_wav(_sidecar(out_path, "removed"), rem, fs)
+            if task == "denoiser":
+                print(snr_est)
+                comp = enhancer.compensate(den, rem, snr_est,
+                                           args.compensate, args.ac)
+                wavio.write_wav(_sidecar(out_path, "compensated"), comp, fs)
+            print(f"{chunk_in[j]} -> {out_path}")

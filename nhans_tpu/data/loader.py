@@ -1,0 +1,198 @@
+"""Host-side data loader: worker threads that ONLY decode wavs into
+fixed-shape buffers, plus device prefetch.
+
+This replaces the reference's 16-thread ``tf.py_func`` + queue-runner
+pipeline (reference reader.py:287-327, main.py:86,463-471).  The heavy
+signal work (mixing/STFT/crops) moved on-device (see data/pipeline.py), so
+host workers just read int16 PCM and pad — cheap enough that the input
+pipeline never starves the MXU.  Worker exceptions are surfaced instead of
+swallowed (the reference prints 'error in threads' and drops the example,
+reference reader.py:221-223).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from nhans_tpu.config import Config
+from nhans_tpu.data.manifest import load_seeds
+from nhans_tpu.dsp.mixing import snr_index_from_path
+from nhans_tpu.utils import wavio
+
+
+class _Stop(Exception):
+    pass
+
+
+def _decode(path: str, max_samples: int) -> tuple:
+    x = np.asarray(wavio.read_wav_strict(path), np.float32)
+    n = min(len(x), max_samples)
+    return x[:n], n
+
+
+class TrainLoader:
+    """Infinite shuffled stream of raw-waveform batches.
+
+    Yields dicts: clean/noise_a/noise_b [B, L] float32 (raw int16 scale,
+    un-normalized — normalization happens on device) and the valid lengths.
+    For the separator task, noise_a is another speech utterance and
+    noise_b is zeros (unused), matching the reference's double dequeue of
+    the speech queue (reference Source_Separation/reader.py:248-249).
+    """
+
+    def __init__(self, cfg: Config, batch_utts: int, split: str = "train",
+                 seed: Optional[int] = None, num_workers: Optional[int] = None):
+        self.cfg = cfg
+        self.batch = batch_utts
+        self.L = cfg.data.max_samples
+        self.two_noise = cfg.task.two_noise_mixing
+        self.speech = load_seeds(cfg.data.speech_wav_dir, split)
+        if self.two_noise:
+            self.noise = load_seeds(cfg.data.noise_wav_dir, split)
+        else:
+            self.noise = self.speech
+        if not self.speech or not self.noise:
+            raise ValueError("empty manifest(s)")
+        self._q: "queue.Queue" = queue.Queue(maxsize=cfg.data.prefetch * 2)
+        self._err: List[BaseException] = []
+        self._stop = threading.Event()
+        self._threads = []
+        n_workers = num_workers or cfg.data.num_workers
+        base_seed = cfg.data.seed if seed is None else seed
+        for w in range(n_workers):
+            t = threading.Thread(
+                target=self._worker, args=(base_seed * 1000 + w,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _worker(self, seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        L, B = self.L, self.batch
+        try:
+            while not self._stop.is_set():
+                clean = np.zeros((B, L), np.float32)
+                na = np.zeros((B, L), np.float32)
+                nb = np.zeros((B, L), np.float32)
+                lens = np.zeros((3, B), np.int32)
+                for b in range(B):
+                    cpath = self.speech[rng.integers(len(self.speech))]
+                    apath = self.noise[rng.integers(len(self.noise))]
+                    clean[b, :0], _ = (np.zeros(0), 0)  # keep layout explicit
+                    x, n = _decode(cpath, L)
+                    clean[b, :n] = x
+                    lens[0, b] = n
+                    x, n = _decode(apath, L)
+                    na[b, :n] = x
+                    lens[1, b] = n
+                    if self.two_noise:
+                        bpath = self.noise[rng.integers(len(self.noise))]
+                        x, n = _decode(bpath, L)
+                        nb[b, :n] = x
+                        lens[2, b] = n
+                batch = {"clean": clean, "noise_a": na, "noise_b": nb,
+                         "clean_len": lens[0], "len_a": lens[1],
+                         "len_b": lens[2]}
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surface, don't swallow
+            self._err.append(e)
+            self._stop.set()
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        while True:
+            if self._err:
+                raise RuntimeError("data worker failed") from self._err[0]
+            try:
+                return self._q.get(timeout=1.0)
+            except queue.Empty:
+                continue
+
+    def close(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=2.0)
+
+
+class EvalLoader:
+    """Deterministic one-epoch stream of eval utterances.
+
+    Pairing and SNRs are reproducible: speech files in manifest order;
+    noise files cycled in order (two consecutive noises per utterance for
+    the denoiser, the next speech utterance for the separator, mirroring
+    the reference's sequential dequeues); SNRs from md5(cleanpath)
+    (reference reader.py:212-216).
+    """
+
+    def __init__(self, cfg: Config, split: Optional[str] = None,
+                 limit: Optional[int] = None):
+        self.cfg = cfg
+        split = split or cfg.data.eval_seeds
+        self.speech = load_seeds(cfg.data.speech_wav_dir, split)
+        self.two_noise = cfg.task.two_noise_mixing
+        self.noise = (load_seeds(cfg.data.noise_wav_dir, split)
+                      if self.two_noise else self.speech)
+        if limit:
+            self.speech = self.speech[:limit]
+        self.L = cfg.data.max_samples
+
+    def __iter__(self):
+        snrs = self.cfg.task.snr_set
+        for i, cpath in enumerate(self.speech):
+            if self.two_noise:
+                apath = self.noise[(2 * i) % len(self.noise)]
+                bpath = self.noise[(2 * i + 1) % len(self.noise)]
+                snr_a = snrs[snr_index_from_path(cpath, len(snrs), 8)]
+                snr_b = snrs[snr_index_from_path(cpath, len(snrs), 6)]
+            else:
+                apath = self.speech[(i + 1) % len(self.speech)]
+                bpath = None
+                snr_a = snrs[snr_index_from_path(cpath, len(snrs), 8)]
+                snr_b = 0
+            clean, n_c = _decode(cpath, self.L)
+            na, n_a = _decode(apath, self.L)
+            nb, n_b = _decode(bpath, self.L) if bpath else (np.zeros(1, np.float32), 0)
+            yield {
+                "clean": clean, "noise_a": na, "noise_b": nb,
+                "clean_len": n_c, "len_a": n_a, "len_b": n_b,
+                "snr_a": snr_a, "snr_b": snr_b,
+                "cleanpath": cpath, "path_a": apath, "path_b": bpath or "",
+            }
+
+
+def prefetch_to_device(iterator, sharding=None, depth: int = 2):
+    """Double-buffered jax.device_put of loader batches."""
+    import jax
+    import collections
+
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    it = iter(iterator)
+    try:
+        while len(buf) < depth:
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

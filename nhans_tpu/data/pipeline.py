@@ -1,0 +1,176 @@
+"""On-device batch construction: mixing -> STFT -> random synchronized
+crops, all inside jit.
+
+The reference does this on 16 host threads through ``tf.py_func`` numpy
+mixing + in-graph STFT + queues (reference reader.py:287-397), then copies
+every batch host->device.  Here the host loader only decodes wavs into
+fixed-size padded buffers; everything signal-shaped happens on the TPU as
+part of the (pjit-able) step, keeping the MXU fed.
+
+Shapes are static: waveform buffers [B, L] with valid lengths [B]; the
+spectrogram has F = num_frames(L) frames of which ``nf[b]`` are valid.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nhans_tpu.config import Config
+from nhans_tpu.dsp import mixing as mx
+from nhans_tpu.dsp import spectral as sp
+
+
+def _whole_frames(n, frame_length: int, frame_step: int):
+    """Trim a (dynamic) length to a whole number of frames
+    (reference reader.py:195-198)."""
+    return n - jnp.remainder(jnp.maximum(n - frame_length, 0), frame_step)
+
+
+def _valid_frames(n, frame_length: int, frame_step: int):
+    return 1 + jnp.maximum(n - frame_length, 0) // frame_step
+
+
+def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
+                     noise_a: jnp.ndarray, noise_b: jnp.ndarray,
+                     clean_len: jnp.ndarray, len_a: jnp.ndarray,
+                     len_b: jnp.ndarray,
+                     slices: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+    """Build a training minibatch from raw waveform buffers.
+
+    For the denoiser task, ``noise_a``/``noise_b`` are the positive and
+    negative noise recordings; for the separator they are (interference
+    speaker, ignored) — the separator draws both signals from the speech
+    corpus and ``noise_b`` is unused (reference
+    Source_Separation/reader.py:248-249 dequeues the speech queue twice).
+
+    Returns mixed windows [N, W, F], target central frames [N, F] and the
+    two conditioning contexts [N, C, F] with N = B * slices.
+    """
+    a, m, task = cfg.audio, cfg.model, cfg.task
+    fl, fs = a.frame_length, a.frame_step
+    K = int(slices or cfg.data.slices_per_step)
+    B, L = clean.shape
+    W, C = m.window_frames, m.context_frames
+    pad_before = ((W + 1) // 2) - 1
+
+    k_snr_a, k_snr_b, k_win, k_ctx_a, k_ctx_b = jax.random.split(key, 5)
+
+    # --- normalize + trim (reference reader.py:186-198)
+    clean_len = _whole_frames(clean_len, fl, fs)
+    clean = mx.peak_normalize(clean, clean_len)
+    noise_a = mx.peak_normalize(noise_a, len_a)
+
+    snr_set = jnp.asarray(task.snr_set, jnp.float32)
+    snr_a = snr_set[jax.random.randint(k_snr_a, (B,), 0, len(task.snr_set))]
+    snr_b = snr_set[jax.random.randint(k_snr_b, (B,), 0, len(task.snr_set))]
+
+    if task.two_noise_mixing:
+        noise_b = mx.peak_normalize(noise_b, len_b)
+        mixed, target, pos_s, neg_s = mx.mix_two_noise(
+            clean, noise_a, noise_b, clean_len, len_a, len_b, snr_a, snr_b)
+        ctx_src_a, ctx_src_b = pos_s, neg_s
+    else:
+        tgt, noise_scaled, mixed = mx.mix_one_noise(
+            clean, noise_a, clean_len, len_a, snr_a)
+        target = tgt
+        # separator contexts: interference speaker, target speaker
+        # (reference Source_Separation/reader.py:344-357)
+        ctx_src_a, ctx_src_b = noise_scaled, tgt
+
+    # --- spectrograms (log-magnitude only; training never uses phase)
+    lm_mixed, _ = sp.spectrogram(mixed, fl, fs, a.log_eps)
+    lm_target, _ = sp.spectrogram(target, fl, fs, a.log_eps)
+    lm_ctx_a, _ = sp.spectrogram(ctx_src_a, fl, fs, a.log_eps)
+    lm_ctx_b, _ = sp.spectrogram(ctx_src_b, fl, fs, a.log_eps)
+    F = lm_mixed.shape[1]
+    nf = _valid_frames(clean_len, fl, fs)                     # [B]
+
+    # --- pad the frame axis for windowing (reference reader.py:352-356)
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (pad_before, W // 2), (0, 0)))
+
+    lm_mixed_p = pad(lm_mixed)
+    lm_ctx_a_p = pad(lm_ctx_a)
+    lm_ctx_b_p = pad(lm_ctx_b)
+
+    # --- synchronized random crops (reference reader.py:433-489)
+    # winstart in [0, nf_padded - W] == [0, nf - 1] of padded coords
+    u = jax.random.uniform(k_win, (B, K))
+    winstart = (u * nf[:, None].astype(u.dtype)).astype(jnp.int32)  # [B,K]
+
+    widx = winstart[..., None] + jnp.arange(W)[None, None, :]  # [B,K,W]
+    mixed_win = jnp.take_along_axis(
+        lm_mixed_p[:, None], widx[..., None], axis=2)          # [B,K,W,nfeat]
+    # target = central frame of the window == original frame `winstart`
+    tidx = jnp.minimum(winstart, jnp.maximum(nf[:, None] - 1, 0))
+    target_c = jnp.take_along_axis(
+        lm_target, tidx[..., None], axis=1)                    # [B,K,nfeat]
+
+    # contexts: C consecutive padded frames from the "rest" (window excised),
+    # rest length = nf + W - 1 - W = nf - 1
+    def ctx_crop(lm_p, kk):
+        rest_max = jnp.maximum(nf[:, None] - 1 - C, 0)         # [B,1]
+        r = (jax.random.uniform(kk, (B, K)) *
+             (rest_max + 1).astype(jnp.float32)).astype(jnp.int32)
+        idx = r[..., None] + jnp.arange(C)[None, None, :]      # [B,K,C]
+        idx = idx + jnp.where(idx >= winstart[..., None], W, 0)
+        idx = jnp.minimum(idx, F + W - 2)                      # stay in buffer
+        return jnp.take_along_axis(lm_p[:, None], idx[..., None], axis=2)
+
+    ctx_a = ctx_crop(lm_ctx_a_p, k_ctx_a)                      # [B,K,C,nfeat]
+    ctx_b = ctx_crop(lm_ctx_b_p, k_ctx_b)
+
+    nfeat = m.num_features
+    return {
+        "mixed": mixed_win.reshape(B * K, W, nfeat),
+        "target": target_c.reshape(B * K, nfeat),
+        "ctx_a": ctx_a.reshape(B * K, C, nfeat),
+        "ctx_b": ctx_b.reshape(B * K, C, nfeat),
+        "snr_a": jnp.repeat(snr_a, K),
+        "snr_b": jnp.repeat(snr_b, K),
+    }
+
+
+def make_eval_batch(cfg: Config, mixed: jnp.ndarray, target: jnp.ndarray,
+                    ctx_a_sig: jnp.ndarray, ctx_b_sig: jnp.ndarray,
+                    n: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Deterministic eval windows for ONE utterance (batch dims of 1 kept).
+
+    Reference semantics (reader.py:398-420): the first ``context_frames``
+    frames provide the conditioning contexts; the model is evaluated on
+    every frame position (stride 1) of the remainder.
+    """
+    a, m = cfg.audio, cfg.model
+    fl, fs = a.frame_length, a.frame_step
+    W, C = m.window_frames, m.context_frames
+    pad_before = ((W + 1) // 2) - 1
+
+    lm_mixed, ph_mixed = sp.spectrogram(mixed, fl, fs, a.log_eps)
+    lm_target, _ = sp.spectrogram(target, fl, fs, a.log_eps)
+    lm_a, _ = sp.spectrogram(ctx_a_sig, fl, fs, a.log_eps)
+    lm_b, _ = sp.spectrogram(ctx_b_sig, fl, fs, a.log_eps)
+
+    nf = _valid_frames(_whole_frames(n, fl, fs), fl, fs)
+    F = lm_mixed.shape[-2]
+    # windows over frames [C:], one per frame (stride 1)
+    rest = lm_mixed[..., C:, :]
+    padded = jnp.pad(rest, [(0, 0)] * (rest.ndim - 2)
+                     + [(pad_before, W // 2), (0, 0)])
+    nwin = F - C
+    idx = np.arange(nwin)[:, None] + np.arange(W)[None, :]
+    windows = padded[..., idx, :]
+    valid = (jnp.arange(nwin) < (nf - C))
+    return {
+        "mixed": windows,
+        "target": lm_target[..., C:, :],
+        "mixed_lm": lm_mixed[..., C:, :],
+        "mixed_ph": ph_mixed[..., C:, :],
+        "ctx_a": lm_a[..., :C, :],
+        "ctx_b": lm_b[..., :C, :],
+        "valid": valid,
+        "num_windows": jnp.maximum(nf - C, 0),
+    }

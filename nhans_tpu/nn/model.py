@@ -193,12 +193,26 @@ class NHANSNet(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, mixed, ctx_a, ctx_b, train: bool = False):
+    def __call__(self, mixed, ctx_a=None, ctx_b=None, train: bool = False,
+                 emb_a=None, emb_b=None):
+        """Either pass the raw context spectrograms (``ctx_a``/``ctx_b``)
+        or precomputed 512-d embeddings (``emb_a``/``emb_b``).
+
+        The embedding path lets inference encode each conditioning
+        recording ONCE per utterance instead of re-running the context
+        tower for every window batch, which is what the reference does by
+        tiling the contexts per window (reference apply.py:383-387,444-446).
+        Pass ``mixed=None`` to only encode contexts.
+        """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         encoder = ContextEncoder(cfg, name="embedding")
-        emb_a = encoder(ctx_a, train)
-        emb_b = encoder(ctx_b, train)
+        if emb_a is None:
+            emb_a = encoder(ctx_a, train)
+        if emb_b is None:
+            emb_b = encoder(ctx_b, train)
+        if mixed is None:
+            return emb_a, emb_b
 
         out = mixed[..., None]
         for i, (k, s, c) in enumerate(cfg.main_blocks):

@@ -1,0 +1,85 @@
+"""Orbax checkpointing with save-every-N / keep-K / auto-resume.
+
+Replaces the reference's ``tf.train.Saver`` triplets and its
+filename-suffix-parsed global step (reference main.py:427-434,473-487)
+with step-indexed Orbax directories.  Unlike the reference — which
+round-trips weights train-graph -> disk -> eval-graph every eval
+(main.py:480-487) — evaluation here reuses the in-memory state; the
+checkpoint exists for resume/deployment only.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    """Thin wrapper over ocp.CheckpointManager for a dict-pytree state."""
+
+    def __init__(self, directory: str, max_to_keep: int = 1_000_000,
+                 name: str = "nhans"):
+        path = os.path.abspath(os.path.join(directory, name))
+        os.makedirs(path, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            path,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+        self.path = path
+
+    def save(self, step: int, state: Any, force: bool = False) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, step: Optional[int] = None,
+                template: Any = None) -> Tuple[int, Any]:
+        """Restore `step` (or latest).  `template` is an abstract pytree
+        (e.g. from jax.eval_shape) to restore into; None = raw restore."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.path}")
+        if template is not None:
+            state = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        else:
+            state = self._mgr.restore(step)
+        return step, state
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def save_variables(path: str, variables: Any) -> None:
+    """One-shot save of inference variables (params + batch_stats)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), variables, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_variables(path: str, template: Any = None) -> Any:
+    """One-shot restore of inference variables.
+
+    Accepts either a directory written by ``save_variables`` or a
+    Checkpointer step directory.
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        if template is not None:
+            out = ckptr.restore(path, target=template)
+        else:
+            out = ckptr.restore(path)
+    finally:
+        ckptr.close()
+    return out

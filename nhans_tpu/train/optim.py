@@ -1,0 +1,34 @@
+"""Optimizer zoo via optax, matching the reference's ``--alg`` choices and
+the TF optimizers' default hyper-parameters (reference main.py:405-416)."""
+
+from __future__ import annotations
+
+import optax
+
+
+def make_optimizer(alg: str, lr: float, mom: float = 0.0):
+    """sgd / momentum / rmsprop / adadelta / adagrad / adam
+    (reference main.py:405-416).  Hyper-parameters mirror the TF1 defaults:
+
+    * rmsprop: decay 0.9, momentum = --mom, eps 1e-10
+      (tf.train.RMSPropOptimizer defaults)
+    * adadelta: rho 0.95, eps 1e-8 (tf.train.AdadeltaOptimizer)
+    * adagrad: initial accumulator 0.1 (tf.train.AdagradOptimizer)
+    * adam: b1 0.9, b2 0.999, eps 1e-8 (tf.train.AdamOptimizer)
+    """
+    alg = alg.lower()
+    if alg == "sgd":
+        return optax.sgd(lr)
+    if alg == "momentum":
+        return optax.sgd(lr, momentum=mom)
+    if alg == "rmsprop":
+        return optax.rmsprop(lr, decay=0.9, eps=1e-10,
+                             momentum=mom if mom else None)
+    if alg == "adadelta":
+        return optax.adadelta(lr, rho=0.95, eps=1e-8)
+    if alg == "adagrad":
+        return optax.adagrad(lr, initial_accumulator_value=0.1)
+    if alg == "adam":
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    raise ValueError(f"unknown optimizer --alg={alg!r}; expected one of "
+                     "sgd|momentum|rmsprop|adadelta|adagrad|adam")
