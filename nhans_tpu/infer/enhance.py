@@ -62,8 +62,6 @@ class Enhancer:
         fl, fs = a.frame_length, a.frame_step
         F = sp.num_frames(num_samples, fl, fs)
         WC = self.window_chunk
-        nchunks = -(-F // WC)
-        Fpad = nchunks * WC
         W = m.window_frames
         ctx_n = context_samples(cfg)
         Fc = sp.num_frames(ctx_n, fl, fs)  # == context_frames
@@ -93,24 +91,29 @@ class Enhancer:
             emb_a, emb_b = self.model.apply(variables, None, ctx_a, ctx_b,
                                             False)
 
-            # ---- all sliding windows, chunked through the main tower
+            # ---- all sliding windows, chunked globally through the main
+            # tower: `window_chunk` windows per model call regardless of B.
+            nwin = B * F
+            ncg = -(-nwin // WC)
+            padw = ncg * WC - nwin
             padded = jnp.pad(logmag, ((0, 0), (pad_before, pad_after), (0, 0)))
             windows = padded[:, win_idx]                          # [B, F, W, 201]
-            windows = jnp.pad(windows, ((0, 0), (0, Fpad - F), (0, 0), (0, 0)))
-            windows = windows.reshape(B, nchunks, WC, W, m.num_features)
-            windows = jnp.moveaxis(windows, 1, 0)                 # [nc, B, WC, ...]
-            emb_ar = jnp.repeat(emb_a, WC, axis=0)                # [B*WC, 512]
-            emb_br = jnp.repeat(emb_b, WC, axis=0)
+            flat = windows.reshape(nwin, W, m.num_features)
+            flat = jnp.pad(flat, ((0, padw), (0, 0), (0, 0)))
+            flat = flat.reshape(ncg, WC, W, m.num_features)
+            emb_ar = jnp.pad(jnp.repeat(emb_a, F, axis=0), ((0, padw), (0, 0)))
+            emb_br = jnp.pad(jnp.repeat(emb_b, F, axis=0), ((0, padw), (0, 0)))
+            emb_ar = emb_ar.reshape(ncg, WC, -1)
+            emb_br = emb_br.reshape(ncg, WC, -1)
 
-            def chunk_fn(wchunk):
-                flat = wchunk.reshape(B * WC, W, m.num_features)
-                res = self.model.apply(variables, flat, None, None, False,
-                                       emb_a=emb_ar, emb_b=emb_br)
-                return res.reshape(B, WC, m.num_features)
+            def chunk_fn(args):
+                wchunk, ea, eb = args
+                return self.model.apply(variables, wchunk, None, None, False,
+                                        emb_a=ea, emb_b=eb)
 
-            residuals = jax.lax.map(chunk_fn, windows)            # [nc, B, WC, 201]
-            residuals = jnp.moveaxis(residuals, 0, 1).reshape(
-                B, Fpad, m.num_features)[:, :F]
+            residuals = jax.lax.map(chunk_fn, (flat, emb_ar, emb_br))
+            residuals = residuals.reshape(ncg * WC, m.num_features)
+            residuals = residuals[:nwin].reshape(B, F, m.num_features)
 
             denoised_lm = logmag + residuals                      # central frame + res
 

@@ -1,0 +1,125 @@
+"""The jitted training step: on-device augmentation + forward + loss +
+grad + optimizer + BN-stat update, pjit-sharded over the data axis.
+
+One XLA program replaces the reference's per-step double host round-trip
+(input session -> numpy -> feed_dict -> train session, reference
+main.py:560-565).  The raw-waveform batch arrives sharded over the mesh's
+``data`` axis; every reduction over the batch (loss mean, BN moments,
+gradients) compiles to a psum over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nhans_tpu.config import Config
+from nhans_tpu.data.pipeline import make_train_batch
+from nhans_tpu.models import init_variables
+from nhans_tpu.nn.model import NHANSNet, freq_weighted_mse
+from nhans_tpu.train.optim import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_state(cfg: Config, rng: jax.Array) -> Tuple[NHANSNet, TrainState, Any]:
+    model, variables = init_variables(cfg, rng, train=True)
+    tx = make_optimizer(cfg.train.alg, cfg.train.lr, cfg.train.mom)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    return model, state, tx
+
+
+def param_counts(state: TrainState) -> Tuple[int, int]:
+    import numpy as np
+    trainable = sum(int(np.prod(x.shape))
+                    for x in jax.tree_util.tree_leaves(state.params))
+    non_trainable = sum(int(np.prod(x.shape))
+                        for x in jax.tree_util.tree_leaves(state.batch_stats))
+    return trainable, non_trainable
+
+
+def make_train_step(cfg: Config, model: NHANSNet, tx,
+                    mesh=None, donate: bool = True):
+    """Build the jitted train step.
+
+    Signature: (state, raw_batch, key) -> (state, metrics) where raw_batch
+    holds clean/noise_a/noise_b [B, L] waveform buffers + lengths.
+    """
+    W = cfg.model.window_frames
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
+                key: jax.Array):
+        ex = make_train_batch(cfg, key, batch["clean"], batch["noise_a"],
+                              batch["noise_b"], batch["clean_len"],
+                              batch["len_a"], batch["len_b"])
+
+        def loss_fn(params):
+            res, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                ex["mixed"], ex["ctx_a"], ex["ctx_b"], True,
+                mutable=["batch_stats"])
+            denoised = ex["mixed"][:, W // 2, :] + res
+            loss, _ = freq_weighted_mse(denoised, ex["target"])
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+        gnorm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(cfg: Config, model: NHANSNet, mesh=None):
+    """Jitted eval forward on prepared windows: returns denoised central
+    frames and per-window loss (reference model outputs, main.py:250-255)."""
+    W = cfg.model.window_frames
+
+    def eval_fn(params, batch_stats, mixed, ctx_a, ctx_b, target):
+        emb_a, emb_b = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            None, ctx_a, ctx_b, False)
+        res = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mixed, None, None, False, emb_a=emb_a, emb_b=emb_b)
+        denoised = mixed[:, W // 2, :] + res
+        _, example_loss = freq_weighted_mse(denoised, target)
+        return denoised, example_loss
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(eval_fn,
+                   in_shardings=(repl, repl, data, data, data, data),
+                   out_shardings=(data, data))
