@@ -1,0 +1,48 @@
+"""``nhans_train`` — training CLI with the reference's documented flags
+(reference README.md:68-101: ``python main.py --lr ... --alg ...``).
+
+Extra flags beyond the reference: ``--task denoiser|separator`` (the
+reference uses two separate package copies) and ``--data_axis`` for the
+mesh size.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from nhans_tpu.config import add_reference_flags, config_from_args
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="nhans_train")
+    p.add_argument("--task", choices=("denoiser", "separator"),
+                   default="denoiser")
+    p.add_argument("--data_axis", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--eval_utts", type=int, default=16,
+                   help="utterances per evaluation pass")
+    add_reference_flags(p, inference=False)
+    args = p.parse_args()
+
+    cfg = config_from_args(args, task=args.task)
+    import dataclasses
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, data_axis=args.data_axis))
+
+    print("----------------------------- FLAGS VALUES "
+          "--------------------------------")
+    for k in sorted(vars(args)):
+        print(f"{k}: {getattr(args, k)}")
+    print("----------------------- DATA LOADING, MODEL PREPARING "
+          "-------------------------")
+    print(f"model_name: {cfg.train.model_name}")
+
+    from nhans_tpu.train.trainer import Trainer
+    trainer = Trainer(cfg, eval_utts=args.eval_utts)
+    print("--------------------------------- TRAINING! "
+          "------------------------------------")
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Deterministic evaluation + waveform reconstruction dumps.
+
+Reference semantics (reference main.py:264-353,473-550; reader.py:398-420):
+* valid/test SNRs derive from md5(cleanpath) — reproduced in EvalLoader,
+* contexts = first 200 frames of the conditioning signals,
+* the model is evaluated at every frame position (stride 1) past the
+  context region; ``location == 0`` marks utterance starts (here each
+  utterance is simply processed whole, so reassembly is trivial),
+* reconstruction = exp(log-mag) with the *mixed* phase -> iSTFT,
+* wav dumps named ``{model}_{step}_{clean}_{noiseA}_{noiseB}_{snrA}_
+  {snrB}_{kind}.wav`` (reference main.py:339-353).
+
+TPU-first: mixing, STFT, windowing, model, loss, and iSTFT reconstruction
+run as one jitted program per length bucket; windows stream through the
+main tower in fixed chunks with the contexts encoded once.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nhans_tpu.config import Config
+from nhans_tpu.dsp import mixing as mx
+from nhans_tpu.dsp import spectral as sp
+from nhans_tpu.nn.model import NHANSNet, freq_loss_weights
+from nhans_tpu.utils import wavio
+
+
+class Evaluator:
+    def __init__(self, cfg: Config, model: NHANSNet,
+                 window_chunk: int = 256,
+                 buckets_seconds=(4, 8, 16, 32, 64, 128)):
+        self.cfg = cfg
+        self.model = model
+        self.WC = int(window_chunk)
+        self.buckets = [int(s * cfg.audio.sample_rate) for s in buckets_seconds]
+        self._programs = {}
+
+    def _build(self, L: int):
+        cfg = self.cfg
+        a, m, task = cfg.audio, cfg.model, cfg.task
+        fl, fs = a.frame_length, a.frame_step
+        W, C = m.window_frames, m.context_frames
+        F = sp.num_frames(L, fl, fs)
+        nwin = max(F - C, 1)
+        WC = self.WC
+        nch = -(-nwin // WC)
+        pad_b, pad_a = ((W + 1) // 2) - 1, W // 2
+        win_idx = np.arange(nwin)[:, None] + np.arange(W)[None, :]
+        weights = freq_loss_weights(m.num_features)
+
+        def program(variables, clean, na, nb, n_clean, n_a, n_b,
+                    snr_a, snr_b):
+            # --- deterministic mixing (md5 SNRs chosen host-side)
+            n_clean = n_clean - jnp.remainder(
+                jnp.maximum(n_clean - fl, 0), fs)
+            clean = mx.peak_normalize(clean, n_clean)
+            na_n = mx.peak_normalize(na, n_a)
+            if task.two_noise_mixing:
+                nb_n = mx.peak_normalize(nb, n_b)
+                mixed, target, pos_s, neg_s = mx.mix_two_noise(
+                    clean, na_n, nb_n, n_clean, n_a, n_b, snr_a, snr_b)
+                ctx_a_sig, ctx_b_sig = pos_s, neg_s
+            else:
+                target, noise_scaled, mixed = mx.mix_one_noise(
+                    clean, na_n, n_clean, n_a, snr_a)
+                ctx_a_sig, ctx_b_sig = noise_scaled, target
+
+            lm_mixed, ph_mixed = sp.spectrogram(mixed, fl, fs, a.log_eps)
+            lm_target, ph_target = sp.spectrogram(target, fl, fs, a.log_eps)
+            lm_a, ph_a = sp.spectrogram(ctx_a_sig, fl, fs, a.log_eps)
+            lm_b, ph_b = sp.spectrogram(ctx_b_sig, fl, fs, a.log_eps)
+            nf = 1 + jnp.maximum(n_clean - fl, 0) // fs
+
+            # contexts: first C frames (reference reader.py:408-413)
+            ctx_a = lm_a[:, :C]
+            ctx_b = lm_b[:, :C]
+            emb_a, emb_b = self.model.apply(variables, None, ctx_a, ctx_b,
+                                            False)
+
+            # stride-1 windows past the context region
+            rest = lm_mixed[:, C:]
+            padded = jnp.pad(rest, ((0, 0), (pad_b, pad_a), (0, 0)))
+            windows = padded[:, win_idx][0]                    # [nwin, W, nf]
+            wpad = nch * WC - nwin
+            flat = jnp.pad(windows, ((0, wpad), (0, 0), (0, 0)))
+            flat = flat.reshape(nch, WC, W, m.num_features)
+            ea = jnp.broadcast_to(emb_a, (WC, emb_a.shape[-1]))
+            eb = jnp.broadcast_to(emb_b, (WC, emb_b.shape[-1]))
+
+            def chunk_fn(wchunk):
+                res = self.model.apply(variables, wchunk, None, None, False,
+                                       emb_a=ea, emb_b=eb)
+                return res
+
+            res = jax.lax.map(chunk_fn, flat).reshape(
+                nch * WC, m.num_features)[:nwin]
+            denoised_lm = rest[0] + res                         # [nwin, nf]
+
+            valid = (jnp.arange(nwin) < (nf[0] - C))
+            se = jnp.square(denoised_lm - lm_target[0, C:C + nwin])
+            example_loss = jnp.mean(se * weights, axis=-1)
+            loss = (jnp.sum(example_loss * valid)
+                    / jnp.maximum(jnp.sum(valid), 1))
+
+            # --- reconstructions with mixed phase (reference main.py:301-306)
+            mask = valid[:, None].astype(denoised_lm.dtype)
+            ph = ph_mixed[0, C:C + nwin]
+
+            def recon(lm, phase):
+                mag = jnp.exp(lm[:nwin]) * mask
+                return sp.istft(mag * jnp.cos(phase[:nwin]),
+                                mag * jnp.sin(phase[:nwin]), fl, fs)
+
+            wavs = {
+                "mixed": recon(lm_mixed[0, C:], ph),
+                "denoised": recon(denoised_lm, ph),
+                "target": recon(lm_target[0, C:], ph_target[0, C:]),
+            }
+            if task.two_noise_mixing:
+                wavs["posNoise"] = recon(lm_a[0, C:], ph_a[0, C:])
+                wavs["negNoise"] = recon(lm_b[0, C:], ph_b[0, C:])
+            n_out = fs * (jnp.maximum(nf[0] - C, 1) - 1) + fl
+            return loss, example_loss, valid, wavs, n_out
+
+        return jax.jit(program)
+
+    def _program_for(self, n: int):
+        L = next((b for b in self.buckets if b >= n), None) or n
+        if L not in self._programs:
+            self._programs[L] = self._build(L)
+        return self._programs[L], L
+
+    def run(self, variables, loader, step: int = 0, modelname: str = "nhans",
+            wav_dump_folder: Optional[str] = None,
+            dump_results: Optional[str] = None,
+            max_utts: Optional[int] = None) -> float:
+        """Evaluate over a loader; returns mean loss.  Optionally dumps
+        reconstruction wavs + channel npys like the reference
+        (main.py:339-353,539-543)."""
+        losses, counts = [], []
+        fs = self.cfg.audio.sample_rate
+        for i, ex in enumerate(loader):
+            if max_utts is not None and i >= max_utts:
+                break
+            program, L = self._program_for(max(ex["clean_len"], fs))
+            buf = np.zeros((3, 1, L), np.float32)
+            for j, k in enumerate(("clean", "noise_a", "noise_b")):
+                x = ex[k][:L]
+                buf[j, 0, :len(x)] = x
+            loss, ex_loss, valid, wavs, n_out = program(
+                variables, buf[0], buf[1], buf[2],
+                np.asarray([min(ex["clean_len"], L)], np.int32),
+                np.asarray([min(ex["len_a"], L)], np.int32),
+                np.asarray([min(ex["len_b"], L)], np.int32),
+                np.asarray([ex["snr_a"]], np.float32),
+                np.asarray([ex["snr_b"]], np.float32))
+            nv = int(np.asarray(valid).sum())
+            losses.append(float(loss) * nv)
+            counts.append(nv)
+            if wav_dump_folder:
+                names = {
+                    "clean": os.path.basename(ex["cleanpath"])[:-4],
+                    "a": os.path.basename(ex["path_a"])[:-4],
+                    "b": (os.path.basename(ex["path_b"])[:-4]
+                          if ex["path_b"] else "none"),
+                }
+                n = int(n_out)
+                for kind, w in wavs.items():
+                    fname = (f"{modelname}_{step}_{names['clean']}_"
+                             f"{names['a']}_{names['b']}_{ex['snr_a']}_"
+                             f"{ex['snr_b']}_{kind}.wav")
+                    wavio.write_wav(os.path.join(wav_dump_folder, fname),
+                                    np.asarray(w)[:n], fs)
+            if dump_results:
+                os.makedirs(dump_results, exist_ok=True)
+                np.save(os.path.join(
+                    dump_results, f"{modelname}_eval_{step}_loss_{i}"),
+                    np.asarray(ex_loss)[np.asarray(valid)])
+        total = max(sum(counts), 1)
+        mean_loss = sum(losses) / total
+        print(f"loss: {mean_loss}")
+        return mean_loss

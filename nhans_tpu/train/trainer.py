@@ -1,0 +1,138 @@
+"""Training driver: the reference's ``main_loop`` (reference
+main.py:361-608) rebuilt around one pjit train step.
+
+Differences by design (all SURVEY.md §7 decisions):
+* no triple-graph/triple-session split — a single jitted step does
+  augmentation + forward + backward + update on device,
+* evaluation reuses the in-memory state instead of round-tripping weights
+  through disk (reference main.py:480-487),
+* checkpoint auto-resume: if the checkpoint dir already has steps, training
+  continues from the latest (TPU preemption recovery; the reference only
+  has manual --restore_path),
+* monitors are persisted (JSONL) instead of the reference's never-written
+  tf.Summary protos (main.py:586-589).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nhans_tpu.config import Config
+from nhans_tpu.data.loader import EvalLoader, TrainLoader, prefetch_to_device
+from nhans_tpu.parallel.mesh import batch_sharding, make_mesh
+from nhans_tpu.train.checkpoint import Checkpointer
+from nhans_tpu.train.evaluate import Evaluator
+from nhans_tpu.train.metrics import MetricsWriter, Monitor
+from nhans_tpu.train.step import (TrainState, create_state, make_train_step,
+                                  param_counts)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, mesh=None, eval_utts: Optional[int] = 16):
+        self.cfg = cfg
+        t = cfg.train
+        self.mesh = mesh if mesh is not None else make_mesh(
+            data=t.data_axis or None)
+        self.model, self.state, self.tx = create_state(
+            cfg, jax.random.PRNGKey(cfg.data.seed))
+        self.step_fn = make_train_step(cfg, self.model, self.tx,
+                                       mesh=self.mesh, donate=t.donate_state)
+        self.ckpt = Checkpointer(t.checkpoint_dir, t.checkpoints_to_keep,
+                                 t.model_name)
+        self.evaluator = Evaluator(cfg, self.model)
+        self.writer = MetricsWriter(t.summaries_dir, t.model_name)
+        self.monitor = Monitor(t.train_monitor_every, self.writer)
+        self.eval_utts = eval_utts
+        self.tstep = 0
+
+        # global batch = utterances * slices_per_step examples; utterance
+        # count rounded up to a multiple of the data-axis size
+        ndev = self.mesh.shape["data"]
+        k = cfg.data.slices_per_step
+        self.batch_utts = -(-max(t.train_mb // k, 1) // ndev) * ndev
+
+        trainable, non_trainable = param_counts(self.state)
+        print(f"#trainable variables: {trainable}")
+        print(f"#non-trainable variables: {non_trainable}")
+
+        self._restore()
+
+    # ------------------------------------------------------------------ #
+
+    def _restore(self) -> None:
+        t = self.cfg.train
+        template = jax.tree_util.tree_map(np.asarray, self.state)
+        if t.restore_path:
+            print(f"Restoring model from {t.restore_path}")
+            from nhans_tpu.train.checkpoint import load_variables
+            self.state = load_variables(t.restore_path, template)
+            self.tstep = int(np.asarray(self.state.step))
+        elif self.ckpt.latest_step() is not None:
+            step, self.state = self.ckpt.restore(template=template)
+            self.tstep = step
+            print(f"Auto-resumed from checkpoint step {step}")
+
+    def _variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+    def save_and_eval(self) -> None:
+        t = self.cfg.train
+        print("Saving and restoring the model")
+        self.ckpt.save(self.tstep, jax.device_get(self.state))
+        print("----------------- TEST MONITOR ----------------------")
+        loader = EvalLoader(self.cfg, limit=self.eval_utts)
+        loss = self.evaluator.run(
+            self._variables(), loader, step=self.tstep,
+            modelname=t.model_name,
+            wav_dump_folder=t.wav_dump_folder or None,
+            dump_results=t.dump_results or None,
+            max_utts=self.eval_utts)
+        self.writer.write(self.tstep, {"eval_loss": loss})
+        print("-----------------------------------------------------")
+
+    def train(self) -> None:
+        cfg, t = self.cfg, self.cfg.train
+        state_sh = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, state_sh)
+        loader = TrainLoader(cfg, self.batch_utts)
+        stream = prefetch_to_device(loader, batch_sharding(self.mesh))
+        base_key = jax.random.PRNGKey(cfg.data.seed + 17)
+
+        if t.eval_before_training:
+            print("processing eval before training")
+            self.save_and_eval()
+
+        pending = []  # device scalars; only synced at monitor boundaries
+        try:
+            while self.tstep < t.batches:
+                t_in = time.perf_counter()
+                batch = next(stream)
+                input_wait = time.perf_counter() - t_in
+                key = jax.random.fold_in(base_key, self.tstep)
+                self.state, metrics = self.step_fn(self.state, batch, key)
+                self.tstep += 1
+                pending.append((metrics, input_wait))
+                if self.tstep % t.train_monitor_every == 0:
+                    first = self.tstep - len(pending) + 1
+                    for i, (m, iw) in enumerate(pending):
+                        m = jax.device_get(m)  # one sync per monitor window
+                        self.monitor.update(first + i, {
+                            "loss": float(m["loss"]),
+                            "grad_norm": float(m["grad_norm"]),
+                        }, iw)
+                    pending = []
+                if self.tstep % t.eval_every == 0:
+                    self.save_and_eval()
+            if t.eval_after_training:
+                print("processing eval after training")
+                self.save_and_eval()
+        finally:
+            loader.close()
+            self.ckpt.wait()
+            self.writer.close()

@@ -1,0 +1,99 @@
+"""Manifest + host loader + checkpoint tests (tiny synthetic corpus)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nhans_tpu.config import Config
+import dataclasses
+
+
+def _write_corpus(tmpdir, n_train=4, n_valid=2, fs=16000):
+    from scipy.io import wavfile
+    rng = np.random.default_rng(0)
+    speech = os.path.join(tmpdir, "speech")
+    noise = os.path.join(tmpdir, "noise")
+    for root, n_map in ((speech, {"train": n_train, "valid": n_valid,
+                                  "test": n_valid}),
+                        (noise, {"train": n_train, "valid": n_valid,
+                                 "test": n_valid})):
+        for split, count in n_map.items():
+            d = os.path.join(root, split)
+            os.makedirs(d, exist_ok=True)
+            for i in range(count):
+                x = (rng.standard_normal(fs + i * 400) * 3000).astype(np.int16)
+                wavfile.write(os.path.join(d, f"u{i}.wav"), fs, x)
+    return speech + "/", noise + "/"
+
+
+def _cfg(tmpdir, L=16000):
+    speech, noise = _write_corpus(str(tmpdir))
+    cfg = Config.denoiser()
+    from nhans_tpu.data.manifest import create_seeds
+    create_seeds(speech)
+    create_seeds(noise)
+    return cfg.replace(data=dataclasses.replace(
+        cfg.data, speech_wav_dir=speech, noise_wav_dir=noise,
+        max_samples=L, num_workers=2, slices_per_step=2))
+
+
+def test_manifest_roundtrip(tmp_path):
+    from nhans_tpu.data.manifest import create_seeds, load_seeds
+    speech, _ = _write_corpus(str(tmp_path))
+    splits = create_seeds(speech)
+    assert len(splits["train"]) == 4
+    assert load_seeds(speech, "train") == splits["train"]
+    # legacy pickle fallback
+    import pickle
+    os.remove(os.path.join(speech, "valid.json"))
+    with open(os.path.join(speech, "valid.pkl"), "wb") as f:
+        pickle.dump([b"/a/b.wav", "/c/d.wav"], f)
+    assert load_seeds(speech, "valid") == ["/a/b.wav", "/c/d.wav"]
+
+
+def test_train_loader_batches(tmp_path):
+    from nhans_tpu.data.loader import TrainLoader
+    cfg = _cfg(tmp_path)
+    loader = TrainLoader(cfg, batch_utts=3)
+    try:
+        b = next(iter(loader))
+        assert b["clean"].shape == (3, 16000)
+        assert b["noise_a"].shape == (3, 16000)
+        assert (b["clean_len"] > 0).all()
+        assert np.abs(b["clean"]).max() > 100  # raw int16 scale
+    finally:
+        loader.close()
+
+
+def test_eval_loader_deterministic(tmp_path):
+    from nhans_tpu.data.loader import EvalLoader
+    cfg = _cfg(tmp_path)
+    a = [(e["cleanpath"], e["snr_a"], e["snr_b"]) for e in EvalLoader(cfg)]
+    b = [(e["cleanpath"], e["snr_a"], e["snr_b"]) for e in EvalLoader(cfg)]
+    assert a == b and len(a) == 2
+    assert all(s in cfg.task.snr_set for _, s, _ in a)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    from nhans_tpu.train.checkpoint import Checkpointer
+    ck = Checkpointer(str(tmp_path / "ck"), name="t")
+    state = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+             "step": np.asarray(7, np.int32)}
+    ck.save(7, state)
+    ck.wait()
+    assert ck.latest_step() == 7
+    step, restored = ck.restore(template=state)
+    assert step == 7
+    np.testing.assert_array_equal(restored["w"], state["w"])
+    ck.close()
+
+
+def test_save_load_variables(tmp_path):
+    from nhans_tpu.train.checkpoint import load_variables, save_variables
+    v = {"params": {"a": np.ones((2, 2), np.float32)}}
+    path = str(tmp_path / "vars")
+    save_variables(path, v)
+    out = load_variables(path, v)
+    np.testing.assert_array_equal(out["params"]["a"], v["params"]["a"])

@@ -1,0 +1,121 @@
+"""On-device train/eval batch construction tests."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nhans_tpu.config import Config
+from nhans_tpu.data.pipeline import make_eval_batch, make_train_batch
+from nhans_tpu.dsp import spectral as sp
+
+
+def _cfg(L=48080, k=2):
+    cfg = Config.denoiser()
+    return cfg.replace(data=dataclasses.replace(
+        cfg.data, max_samples=L, slices_per_step=k))
+
+
+def _batch(rng, B, L):
+    return {k: jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 1000)
+            for k in ("clean", "noise_a", "noise_b")}
+
+
+def test_train_batch_shapes_and_snrs(rng):
+    cfg = _cfg()
+    B, L, K = 3, cfg.data.max_samples, cfg.data.slices_per_step
+    b = _batch(rng, B, L)
+    lens = dict(clean_len=jnp.asarray([L, 20000, 30000]),
+                len_a=jnp.asarray([30000, L, 10000]),
+                len_b=jnp.asarray([L, 15000, 8000]))
+    keys = [jax.random.PRNGKey(i) for i in range(8)]
+    snrs = []
+    for key in keys:
+        ex = make_train_batch(cfg, key, b["clean"], b["noise_a"],
+                              b["noise_b"], **lens)
+        snrs.extend(np.asarray(ex["snr_a"]).tolist())
+    ex = make_train_batch(cfg, keys[0], b["clean"], b["noise_a"],
+                          b["noise_b"], **lens)
+    assert ex["mixed"].shape == (B * K, 35, 201)
+    assert ex["target"].shape == (B * K, 201)
+    assert ex["ctx_a"].shape == (B * K, 200, 201)
+    assert np.isfinite(np.asarray(ex["mixed"])).all()
+    # SNRs drawn from the task set with variety across keys
+    assert set(snrs) <= set(float(s) for s in cfg.task.snr_set)
+    assert len(set(snrs)) >= 3
+
+
+def test_train_batch_window_is_slice_of_spectrogram(rng):
+    """The mixed window must be a contiguous slice of the padded mixed
+    log-spectrogram and the target the central frame's target
+    (reference reader.py:433-450 synchronized crop semantics)."""
+    cfg = _cfg(k=1)
+    L = cfg.data.max_samples
+    b = _batch(rng, 1, L)
+    lens = dict(clean_len=jnp.asarray([L]), len_a=jnp.asarray([L]),
+                len_b=jnp.asarray([L]))
+    key = jax.random.PRNGKey(3)
+    ex = make_train_batch(cfg, key, b["clean"], b["noise_a"], b["noise_b"],
+                          **lens)
+    win = np.asarray(ex["mixed"][0])        # [35, 201]
+    tgt = np.asarray(ex["target"][0])
+
+    # Recompute every possible window start from the same mixing by brute
+    # force: the crop must match at exactly one start, and the target must
+    # be the target-spectrogram frame at that start.
+    from nhans_tpu.dsp import mixing as mx
+    a = cfg.audio
+    clean = mx.peak_normalize(b["clean"], jnp.asarray([L]))
+    na = mx.peak_normalize(b["noise_a"], jnp.asarray([L]))
+    nb = mx.peak_normalize(b["noise_b"], jnp.asarray([L]))
+    snr_a, snr_b = float(ex["snr_a"][0]), float(ex["snr_b"][0])
+    mixed, target, _, _ = mx.mix_two_noise(
+        clean, na, nb, jnp.asarray([L]), jnp.asarray([L]), jnp.asarray([L]),
+        jnp.asarray([snr_a]), jnp.asarray([snr_b]))
+    lm_m, _ = sp.spectrogram(mixed, a.frame_length, a.frame_step)
+    lm_t, _ = sp.spectrogram(target, a.frame_length, a.frame_step)
+    lm_m = np.pad(np.asarray(lm_m[0]), ((17, 17), (0, 0)))
+    matches = [s for s in range(lm_m.shape[0] - 34)
+               if np.allclose(lm_m[s:s + 35], win, atol=1e-4)]
+    assert len(matches) == 1
+    s = matches[0]
+    np.testing.assert_allclose(np.asarray(lm_t[0, s]), tgt, atol=1e-4)
+
+
+def test_eval_batch_matches_reference_layout(rng):
+    cfg = _cfg()
+    a = cfg.audio
+    L = cfg.data.max_samples
+    b = _batch(rng, 1, L)
+    n = jnp.asarray([L])
+    ev = make_eval_batch(cfg, b["clean"], b["clean"], b["noise_a"],
+                         b["noise_b"], n)
+    F = sp.num_frames(L, a.frame_length, a.frame_step)
+    assert ev["mixed"].shape == (1, F - 200, 35, 201)
+    assert int(ev["num_windows"][0]) == F - 200
+    assert bool(np.asarray(ev["valid"]).all())
+    # window i center == mixed frame C+i
+    lm, _ = sp.spectrogram(b["clean"][0], a.frame_length, a.frame_step)
+    i = 7
+    np.testing.assert_allclose(np.asarray(ev["mixed"][0, i, 17]),
+                               np.asarray(lm[200 + i]), atol=1e-5)
+    # contexts are the FIRST 200 frames (reference reader.py:408-413)
+    lm_a, _ = sp.spectrogram(b["noise_a"][0], a.frame_length, a.frame_step)
+    np.testing.assert_allclose(np.asarray(ev["ctx_a"][0]),
+                               np.asarray(lm_a[:200]), atol=1e-5)
+
+
+def test_separator_task_batch(rng):
+    cfg = Config.separator().replace(data=dataclasses.replace(
+        Config.separator().data, max_samples=48080, slices_per_step=2))
+    L = cfg.data.max_samples
+    b = _batch(rng, 2, L)
+    ex = make_train_batch(cfg, jax.random.PRNGKey(0), b["clean"],
+                          b["noise_a"], b["noise_b"],
+                          jnp.asarray([L, L]), jnp.asarray([L, 30000]),
+                          jnp.asarray([0, 0]))
+    assert ex["mixed"].shape == (4, 35, 201)
+    assert set(np.asarray(ex["snr_a"]).tolist()) <= set(
+        float(s) for s in cfg.task.snr_set)
