@@ -21,7 +21,7 @@ import numpy as np
 from nhans_tpu.config import Config
 from nhans_tpu.data.manifest import load_seeds
 from nhans_tpu.dsp.mixing import snr_index_from_path
-from nhans_tpu.utils import wavio
+from nhans_tpu.utils import native, wavio
 
 
 class _Stop(Exception):
@@ -72,30 +72,47 @@ class TrainLoader:
     def _worker(self, seed: int) -> None:
         rng = np.random.default_rng(seed)
         L, B = self.L, self.batch
+        fs = self.cfg.audio.sample_rate
+        use_native = native.available()
         try:
             while not self._stop.is_set():
-                clean = np.zeros((B, L), np.float32)
-                na = np.zeros((B, L), np.float32)
-                nb = np.zeros((B, L), np.float32)
-                lens = np.zeros((3, B), np.int32)
-                for b in range(B):
-                    cpath = self.speech[rng.integers(len(self.speech))]
-                    apath = self.noise[rng.integers(len(self.noise))]
-                    clean[b, :0], _ = (np.zeros(0), 0)  # keep layout explicit
-                    x, n = _decode(cpath, L)
-                    clean[b, :n] = x
-                    lens[0, b] = n
-                    x, n = _decode(apath, L)
-                    na[b, :n] = x
-                    lens[1, b] = n
-                    if self.two_noise:
-                        bpath = self.noise[rng.integers(len(self.noise))]
-                        x, n = _decode(bpath, L)
-                        nb[b, :n] = x
-                        lens[2, b] = n
+                cpaths = [self.speech[rng.integers(len(self.speech))]
+                          for _ in range(B)]
+                apaths = [self.noise[rng.integers(len(self.noise))]
+                          for _ in range(B)]
+                bpaths = ([self.noise[rng.integers(len(self.noise))]
+                           for _ in range(B)] if self.two_noise else [])
+                if use_native:
+                    # C++ RIFF decode + thread fan-out (native/)
+                    paths = cpaths + apaths + bpaths
+                    buf, lens_all = native.load_batch(paths, L, fs,
+                                                      num_threads=2)
+                    clean, na = buf[:B], buf[B:2 * B]
+                    nb = (buf[2 * B:] if self.two_noise
+                          else np.zeros((B, L), np.float32))
+                    lc, la = lens_all[:B], lens_all[B:2 * B]
+                    lb = (lens_all[2 * B:] if self.two_noise
+                          else np.zeros((B,), np.int32))
+                else:
+                    clean = np.zeros((B, L), np.float32)
+                    na = np.zeros((B, L), np.float32)
+                    nb = np.zeros((B, L), np.float32)
+                    lc = np.zeros((B,), np.int32)
+                    la = np.zeros((B,), np.int32)
+                    lb = np.zeros((B,), np.int32)
+                    for b in range(B):
+                        x, n = _decode(cpaths[b], L)
+                        clean[b, :n] = x
+                        lc[b] = n
+                        x, n = _decode(apaths[b], L)
+                        na[b, :n] = x
+                        la[b] = n
+                        if self.two_noise:
+                            x, n = _decode(bpaths[b], L)
+                            nb[b, :n] = x
+                            lb[b] = n
                 batch = {"clean": clean, "noise_a": na, "noise_b": nb,
-                         "clean_len": lens[0], "len_a": lens[1],
-                         "len_b": lens[2]}
+                         "clean_len": lc, "len_a": la, "len_b": lb}
                 while not self._stop.is_set():
                     try:
                         self._q.put(batch, timeout=0.5)
