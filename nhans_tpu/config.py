@@ -226,8 +226,11 @@ def add_reference_flags(parser, *, inference: bool = False,
     parser.add_argument("--speech_wav_dir", default="./speech_wav_dir/")
     parser.add_argument("--noise_wav_dir", default="./noise_wav_dir/")
     if not inference:
-        parser.add_argument("--eval_before_training", action="store_true", default=False)
-        parser.add_argument("--eval_after_training", action="store_true", default=True)
+        import argparse as _ap
+        parser.add_argument("--eval_before_training",
+                            action=_ap.BooleanOptionalAction, default=False)
+        parser.add_argument("--eval_after_training",
+                            action=_ap.BooleanOptionalAction, default=True)
         parser.add_argument("--checkpoints_to_keep", type=int, default=1000000)
         parser.add_argument("--restore_path", default="")
         parser.add_argument("--model_name", default="nhans")
