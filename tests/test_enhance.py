@@ -1,0 +1,54 @@
+"""End-to-end Enhancer test on CPU (tiny buckets/chunks).
+
+With a fresh random init the head is zero-initialized (reference parity:
+last_dense has w_std=0, main.py:238), so enhancement is an identity on the
+log-magnitude pipeline — which makes the whole wav -> STFT -> windows ->
+model -> iSTFT program checkable against pure-DSP reconstruction.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from nhans_tpu.config import Config
+from nhans_tpu.infer.enhance import Enhancer, context_samples
+from nhans_tpu.models import init_variables
+
+
+@pytest.mark.slow
+def test_enhance_identity_at_init(rng):
+    cfg = Config.denoiser()
+    _, variables = init_variables(cfg, jax.random.PRNGKey(0), train=False)
+    enh = Enhancer(cfg, variables, window_chunk=32, buckets_seconds=(1,))
+
+    mixed = rng.standard_normal(12000) * 1000
+    pos = np.zeros(4000)
+    neg = rng.standard_normal(9000) * 500
+    out = enh.enhance(mixed, pos, neg)
+
+    n = cfg.audio.trim_to_whole_frames(12000)
+    f = cfg.audio.num_frames(n)
+    expect_len = 160 * (f - 1) + 400
+    assert len(out["denoised"]) == expect_len
+    assert np.isfinite(out["denoised"]).all()
+    # zero-init head => denoised == mixed_processed exactly
+    np.testing.assert_allclose(out["denoised"], out["mixed_processed"],
+                               atol=1e-6)
+    # and mixed_processed reconstructs the normalized input (interior)
+    xn = mixed / (np.max(np.abs(mixed)) + 1e-6)
+    np.testing.assert_allclose(out["mixed_processed"][400:-400],
+                               xn[400:expect_len - 400], atol=2e-3)
+    # compensation math (reference apply.py:463-472)
+    comp = enh.compensate(out["denoised"], out["removed"],
+                          float(out["snr_est"]), compensate=0.5)
+    np.testing.assert_allclose(
+        comp, out["denoised"] + 0.5 * out["removed"], atol=1e-7)
+    auto = enh.compensate(out["denoised"], out["removed"], 10.0, ac=True)
+    np.testing.assert_allclose(
+        auto, out["denoised"] + 0.5 * out["removed"], atol=1e-7)
+
+
+def test_context_samples():
+    cfg = Config.denoiser()
+    # 200 frames x 160 hop + 400-160 remainder = 32240 samples
+    assert context_samples(cfg) == 32240
