@@ -213,3 +213,41 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
         except StopIteration:
             pass
         yield out
+
+
+def _main() -> None:
+    """Input-pipeline self-test harness: batch latency + throughput
+    (parity with the reference's ``python reader.py`` harness,
+    reference reader.py:529-554)."""
+    import argparse
+    import time
+
+    from nhans_tpu.config import add_reference_flags, config_from_args
+
+    p = argparse.ArgumentParser(prog="python -m nhans_tpu.data.loader")
+    p.add_argument("--task", choices=("denoiser", "separator"),
+                   default="denoiser")
+    p.add_argument("--split", default="valid")
+    p.add_argument("--batch_utts", type=int, default=16)
+    p.add_argument("--iters", type=int, default=10)
+    add_reference_flags(p, inference=False)
+    args = p.parse_args()
+    cfg = config_from_args(args, task=args.task)
+
+    loader = TrainLoader(cfg, args.batch_utts, split=args.split)
+    try:
+        it = iter(loader)
+        next(it)  # warm up workers
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            batch = next(it)
+            dt = time.perf_counter() - t0
+            mb = sum(v.nbytes for v in batch.values()) / 1e6
+            print(f"[{i}] {dt * 1e3:8.2f} ms  {mb:7.1f} MB "
+                  f"({mb / max(dt, 1e-9):8.1f} MB/s)  queue={loader._q.qsize()}")
+    finally:
+        loader.close()
+
+
+if __name__ == "__main__":
+    _main()
