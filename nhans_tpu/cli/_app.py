@@ -92,11 +92,37 @@ def run(task: str) -> None:
     else:
         ctx_a, ctx_b = neg, pos
 
+    def maybe_mix(clean: np.ndarray) -> np.ndarray:
+        """--demo: mix the clean input with the contexts at 0 dB first
+        (reference apply_demo, apply.py:129-135 uses SNRs[1] == 0)."""
+        if not args.demo:
+            return clean
+        import jax.numpy as jnp
+        from nhans_tpu.dsp import mixing as mx
+        c = clean / (np.max(np.abs(clean)) + 1e-6)
+        n = cfg.audio.trim_to_whole_frames(len(c))
+        c = c[:n]
+        if task == "denoiser":
+            p = pos / (np.max(np.abs(pos)) + 1e-6)
+            ng = neg / (np.max(np.abs(neg)) + 1e-6)
+            mixed, _, _, _ = mx.mix_two_noise(
+                jnp.asarray(c, jnp.float32),
+                jnp.asarray(np.resize(p, n).astype(np.float32)),
+                jnp.asarray(np.resize(ng, n).astype(np.float32)),
+                n, n, n, 0.0, 0.0)
+        else:
+            ng = neg / (np.max(np.abs(neg)) + 1e-6)
+            _, _, mixed = mx.mix_one_noise(
+                jnp.asarray(c, jnp.float32),
+                jnp.asarray(np.resize(ng, n).astype(np.float32)),
+                n, n, 0.0)
+        return np.asarray(mixed, np.float64)
+
     # folder mode batches utterances through one XLA program
     batch = 8 if len(inputs) > 1 else 1
     for i in range(0, len(inputs), batch):
         chunk_in = inputs[i:i + batch]
-        waves = [_read(p, fs) for p in chunk_in]
+        waves = [maybe_mix(_read(p, fs)) for p in chunk_in]
         res = enhancer.enhance_batch(
             waves, [ctx_a] * len(waves), [ctx_b] * len(waves))
         for j, out_path in enumerate(outputs[i:i + batch]):

@@ -21,13 +21,16 @@ def main() -> None:
                    help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--eval_utts", type=int, default=16,
                    help="utterances per evaluation pass")
+    p.add_argument("--profile_dir", default="",
+                   help="capture a jax.profiler trace of steps 10-20 here")
     add_reference_flags(p, inference=False)
     args = p.parse_args()
 
     cfg = config_from_args(args, task=args.task)
     import dataclasses
     cfg = cfg.replace(train=dataclasses.replace(
-        cfg.train, data_axis=args.data_axis))
+        cfg.train, data_axis=args.data_axis,
+        profile_dir=args.profile_dir))
 
     print("----------------------------- FLAGS VALUES "
           "--------------------------------")

@@ -161,6 +161,7 @@ class TrainConfig:
     # TPU-specific
     data_axis: int = 0             # mesh data-parallel axis size; 0 = all devices
     donate_state: bool = True
+    profile_dir: str = ""          # capture a jax.profiler trace here
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,6 +218,11 @@ def add_reference_flags(parser, *, inference: bool = False,
         parser.add_argument("--checkpoint", default="",
                             help="explicit checkpoint path (replaces the "
                                  "reference's hard-coded ./trained_model)")
+        parser.add_argument("--demo", action="store_true", default=False,
+                            help="treat --input as CLEAN speech: mix it "
+                                 "with --pos/--neg at 0 dB first, then "
+                                 "enhance (reference apply_demo, "
+                                 "apply.py:212-336)")
     parser.add_argument("--Fs", type=int, default=16000)
     parser.add_argument("--context_frames", type=int, default=200)
     parser.add_argument("--window_frames", type=int, default=35)

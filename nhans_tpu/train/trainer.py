@@ -108,9 +108,20 @@ class Trainer:
             print("processing eval before training")
             self.save_and_eval()
 
+        profiling = False
         pending = []  # device scalars; only synced at monitor boundaries
         try:
             while self.tstep < t.batches:
+                # jax.profiler trace of steps ~10-20 (TPU timeline,
+                # input-pipeline vs device split; SURVEY.md §5 tracing)
+                if t.profile_dir and self.tstep == 10 and not profiling:
+                    jax.profiler.start_trace(t.profile_dir)
+                    profiling = True
+                if profiling and self.tstep >= 20:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profiler trace written to {t.profile_dir}")
                 t_in = time.perf_counter()
                 batch = next(stream)
                 input_wait = time.perf_counter() - t_in
