@@ -135,6 +135,10 @@ class DataConfig:
     num_workers: int = 16          # reference main.py:86 (16 enqueue threads)
     prefetch: int = 2
     seed: int = 0
+    # Wire format for host->device waveform transfer.  "int16" halves the
+    # PCIe/ICI bytes (wavs are int16-origin anyway; only stereo-downmix
+    # means round).  "float32" for bit-exact strictness.
+    transfer_dtype: str = "int16"
 
 
 @dataclasses.dataclass(frozen=True)

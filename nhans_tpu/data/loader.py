@@ -111,6 +111,10 @@ class TrainLoader:
                             x, n = _decode(bpaths[b], L)
                             nb[b, :n] = x
                             lb[b] = n
+                if self.cfg.data.transfer_dtype == "int16":
+                    clean = np.rint(clean).astype(np.int16)
+                    na = np.rint(na).astype(np.int16)
+                    nb = np.rint(nb).astype(np.int16)
                 batch = {"clean": clean, "noise_a": na, "noise_b": nb,
                          "clean_len": lc, "len_a": la, "len_b": lb}
                 while not self._stop.is_set():
@@ -188,11 +192,11 @@ class EvalLoader:
 
 
 def prefetch_to_device(iterator, sharding=None, depth: int = 2):
-    """Double-buffered jax.device_put of loader batches."""
+    """Asynchronous device prefetch: a background thread runs
+    jax.device_put ahead of the consumer so host->device transfers overlap
+    the device step (the reference instead pays a synchronous
+    device->host->device round-trip every step, main.py:560-565)."""
     import jax
-    import collections
-
-    buf = collections.deque()
 
     def put(batch):
         if sharding is not None:
@@ -200,19 +204,42 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
                 lambda x: jax.device_put(x, sharding), batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
-    it = iter(iterator)
-    try:
-        while len(buf) < depth:
-            buf.append(put(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        out = buf.popleft()
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    err: List[BaseException] = []
+
+    def pump():
         try:
-            buf.append(put(next(it)))
-        except StopIteration:
-            pass
-        yield out
+            for batch in iterator:
+                placed = put(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(placed, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(None)
+        except BaseException as e:
+            err.append(e)
+            try:
+                q.put(None, timeout=0.1)
+            except queue.Full:
+                pass
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                if err:
+                    raise RuntimeError("prefetch failed") from err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def _main() -> None:

@@ -59,6 +59,11 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
 
     k_snr_a, k_snr_b, k_win, k_ctx_a, k_ctx_b = jax.random.split(key, 5)
 
+    # accept int16 wire format (loader transfer_dtype) — cast on device
+    clean = clean.astype(jnp.float32)
+    noise_a = noise_a.astype(jnp.float32)
+    noise_b = noise_b.astype(jnp.float32)
+
     # --- normalize + trim (reference reader.py:186-198)
     clean_len = _whole_frames(clean_len, fl, fs)
     clean = mx.peak_normalize(clean, clean_len)
