@@ -17,6 +17,30 @@ separation; see reference README.md:11), designed TPU-first:
   (``nhans_tpu.cli``).
 """
 
-from nhans_tpu.version import __version__
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (safe no-op if unavailable).
+
+    TPU compiles of the full model are expensive — especially through
+    remote-compile tunnels — and every CLI invocation would otherwise pay
+    them again.  Honors JAX_COMPILATION_CACHE_DIR if the user set one.
+    """
+    try:
+        import jax
+        if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            d = _os.path.join(_os.path.expanduser("~"), ".cache",
+                              "nhans_tpu_jax")
+            _os.makedirs(d, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
+from nhans_tpu.version import __version__  # noqa: E402
 
 __all__ = ["__version__"]

@@ -66,7 +66,6 @@ class Enhancer:
         ctx_n = context_samples(cfg)
         Fc = sp.num_frames(ctx_n, fl, fs)  # == context_frames
 
-        win_idx = np.arange(F)[:, None] + np.arange(W)[None, :]  # into padded
         pad_before, pad_after = ((W + 1) // 2) - 1, W // 2
 
         def program(variables, mixed, pos, neg, n_mixed, n_pos, n_neg):
@@ -93,25 +92,30 @@ class Enhancer:
 
             # ---- all sliding windows, chunked globally through the main
             # tower: `window_chunk` windows per model call regardless of B.
+            # Windows are gathered INSIDE each chunk from the (small)
+            # padded spectrogram rather than pre-materialized — the full
+            # window tensor would be window_frames x the spectrogram bytes
+            # of pure HBM traffic.
             nwin = B * F
             ncg = -(-nwin // WC)
-            padw = ncg * WC - nwin
+            Fp = F + W - 1
             padded = jnp.pad(logmag, ((0, 0), (pad_before, pad_after), (0, 0)))
-            windows = padded[:, win_idx]                          # [B, F, W, 201]
-            flat = windows.reshape(nwin, W, m.num_features)
-            flat = jnp.pad(flat, ((0, padw), (0, 0), (0, 0)))
-            flat = flat.reshape(ncg, WC, W, m.num_features)
-            emb_ar = jnp.pad(jnp.repeat(emb_a, F, axis=0), ((0, padw), (0, 0)))
-            emb_br = jnp.pad(jnp.repeat(emb_b, F, axis=0), ((0, padw), (0, 0)))
-            emb_ar = emb_ar.reshape(ncg, WC, -1)
-            emb_br = emb_br.reshape(ncg, WC, -1)
+            flat_spec = padded.reshape(B * Fp, m.num_features)
+            karange = jnp.arange(W, dtype=jnp.int32)
 
-            def chunk_fn(args):
-                wchunk, ea, eb = args
+            def chunk_fn(ci):
+                widx = ci * WC + jnp.arange(WC, dtype=jnp.int32)
+                widx = jnp.minimum(widx, nwin - 1)      # tail chunk clamp
+                b = widx // F
+                f = widx % F
+                rows = b * Fp + f                        # [WC]
+                idx = rows[:, None] + karange[None, :]   # [WC, W]
+                wchunk = flat_spec[idx]                  # [WC, W, nfeat]
                 return self.model.apply(variables, wchunk, None, None, False,
-                                        emb_a=ea, emb_b=eb)
+                                        emb_a=emb_a[b], emb_b=emb_b[b])
 
-            residuals = jax.lax.map(chunk_fn, (flat, emb_ar, emb_br))
+            residuals = jax.lax.map(chunk_fn,
+                                    jnp.arange(ncg, dtype=jnp.int32))
             residuals = residuals.reshape(ncg * WC, m.num_features)
             residuals = residuals[:nwin].reshape(B, F, m.num_features)
 
