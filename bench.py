@@ -18,12 +18,12 @@ import numpy as np
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=8, help="utterances per call")
+    p.add_argument("--batch", type=int, default=16, help="utterances per call")
     p.add_argument("--seconds", type=float, default=10.0,
                    help="utterance length (s)")
     p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--window_chunk", type=int, default=512)
-    p.add_argument("--dtype", default="float32",
+    p.add_argument("--window_chunk", type=int, default=1024)
+    p.add_argument("--dtype", default="bfloat16",
                    choices=("float32", "bfloat16"))
     args = p.parse_args()
 

@@ -34,7 +34,9 @@ def _enable_compilation_cache() -> None:
                               "nhans_tpu_jax")
             _os.makedirs(d, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Cache even sub-second compiles: through remote-compile tunnels
+        # every tiny eager op costs ~0.4 s, which adds up across a session.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

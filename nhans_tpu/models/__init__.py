@@ -21,12 +21,18 @@ def build_model(cfg: Config) -> NHANSNet:
 
 
 def init_variables(cfg: Config, rng: jax.Array, train: bool = True):
-    """Initialize model variables with dummy batch-of-1 inputs."""
+    """Initialize model variables with dummy batch-of-1 inputs.
+
+    The init is wrapped in jit: one compiled (and persistently cached)
+    program instead of hundreds of eager op dispatches, which matters a
+    lot on remote-compile TPU backends.
+    """
     model = build_model(cfg)
     m = cfg.model
     mixed = jnp.zeros((1, m.window_frames, m.num_features), jnp.float32)
     ctx = jnp.zeros((1, m.context_frames, m.num_features), jnp.float32)
-    variables = model.init(rng, mixed, ctx, ctx, train)
+    init = jax.jit(model.init, static_argnames=("train",))
+    variables = init(rng, mixed, ctx, ctx, train=train)
     return model, variables
 
 
