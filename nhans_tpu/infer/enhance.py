@@ -168,10 +168,17 @@ class Enhancer:
 
     def enhance_batch(self, mixed_list, pos_list, neg_list) -> Dict[str, list]:
         """Enhance a batch of raw (un-normalized) waveforms together.
-        All utterances share one program call sized by the longest one."""
+        All utterances share one program call sized by the longest one.
+        The batch dim is bucketed to powers of two so ragged folder-mode
+        remainders reuse compiled programs."""
         a = self.cfg.audio
         ctx_n = context_samples(self.cfg)
-        B = len(mixed_list)
+        nreal = len(mixed_list)
+        B = 1 << max(0, (nreal - 1).bit_length())  # next power of two
+        pad_b = B - nreal
+        mixed_list = list(mixed_list) + [mixed_list[-1]] * pad_b
+        pos_list = list(pos_list) + [pos_list[-1]] * pad_b
+        neg_list = list(neg_list) + [neg_list[-1]] * pad_b
         prep = [self.prepare_wave(x) for x in mixed_list]
         n_mixed = np.array([p[1] for p in prep], np.int32)
         program, bucket = self._program_for(int(n_mixed.max()), B)
@@ -200,10 +207,10 @@ class Enhancer:
         den, mix, rem = np.asarray(den), np.asarray(mix), np.asarray(rem)
         n_out = np.asarray(n_out)
         return {
-            "denoised": [den[i, :n_out[i]] for i in range(B)],
-            "mixed_processed": [mix[i, :n_out[i]] for i in range(B)],
-            "removed": [rem[i, :n_out[i]] for i in range(B)],
-            "snr_est": np.asarray(snr),
+            "denoised": [den[i, :n_out[i]] for i in range(nreal)],
+            "mixed_processed": [mix[i, :n_out[i]] for i in range(nreal)],
+            "removed": [rem[i, :n_out[i]] for i in range(nreal)],
+            "snr_est": np.asarray(snr)[:nreal],
         }
 
     def enhance(self, mixed: np.ndarray, pos: np.ndarray,
