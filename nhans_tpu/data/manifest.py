@@ -62,3 +62,46 @@ def load_seeds(wav_dir: str, split: str) -> List[str]:
     raise FileNotFoundError(
         f"no manifest ({split}.json or {split}.pkl) under {wav_dir}; "
         "run nhans_seeds first")
+
+
+def create_seeds_from_split_lists(split_dir: str, corpus_root: str,
+                                  out_dir: str, extension: str = ".wav",
+                                  fmt: str = "json") -> dict:
+    """Build manifests from the reference's SPL reproduction split lists
+    (DEMO_N-HANS/SPL_Selective_Noise_Suppression/Reproduction_TrainTest_
+    Split/{Librispeech,AudioSet}_DataSplit/{train,valid,test}.txt — plain
+    utterance IDs, one per line).
+
+    IDs are resolved against ``corpus_root`` by filename stem: we index
+    every ``*.wav`` under the root once and match ``<id>.wav``.  Unmatched
+    IDs are reported (the corpora themselves are not distributed with the
+    reference).
+    """
+    index = {}
+    for root, _dirs, files in os.walk(corpus_root):
+        for f in files:
+            if f.endswith(extension):
+                index[os.path.splitext(f)[0]] = os.path.join(root, f)
+    os.makedirs(out_dir, exist_ok=True)
+    out, missing = {}, {}
+    for split in ("train", "valid", "test"):
+        txt = os.path.join(split_dir, f"{split}.txt")
+        if not os.path.exists(txt):
+            continue
+        with open(txt) as f:
+            ids = [line.strip() for line in f if line.strip()]
+        paths = [index[i] for i in ids if i in index]
+        missing[split] = [i for i in ids if i not in index]
+        out[split] = paths
+        target = os.path.join(out_dir, f"{split}.{ 'json' if fmt=='json' else 'pkl'}")
+        if fmt == "json":
+            with open(target, "w") as f:
+                json.dump(paths, f, indent=0)
+        else:
+            with open(target, "wb") as f:
+                pickle.dump(paths, f)
+    for split, miss in missing.items():
+        if miss:
+            print(f"WARNING: {split}: {len(miss)} ids not found under "
+                  f"{corpus_root} (e.g. {miss[:3]})")
+    return out
