@@ -132,6 +132,10 @@ class DataConfig:
     # Utterance bucket in samples (static shape for XLA). 163600 = 10.22 s,
     # chosen so (163600 - 400) % 160 == 0 (whole frames).
     max_samples: int = 163600
+    # Per-batch length buckets (seconds): each train batch is trimmed to
+    # the smallest bucket that fits its longest utterance, cutting
+    # host->device transfer of padding; jit caches one step per bucket.
+    length_buckets: Sequence[float] = (4.0, 7.0, 10.225)
     num_workers: int = 16          # reference main.py:86 (16 enqueue threads)
     prefetch: int = 2
     seed: int = 0

@@ -111,12 +111,38 @@ class TrainLoader:
                             x, n = _decode(bpaths[b], L)
                             nb[b, :n] = x
                             lb[b] = n
+                # Peak of each decoded signal BEFORE any trimming, so
+                # device-side normalization matches the reference's
+                # whole-file peak (reference reader.py:186-189).
+                peaks = np.stack([np.abs(clean).max(axis=1),
+                                  np.abs(na).max(axis=1),
+                                  np.abs(nb).max(axis=1)],
+                                 axis=1).astype(np.float32)  # [B, 3]
+
+                # Trim the batch to its clean-length bucket: noise beyond
+                # the clean length is never used (the reference truncates
+                # noise to len(clean), reader.py:140-144), so all three
+                # buffers ride the same bucket on the wire.
+                longest = int(max(lc.max(), 1))
+                bucket = L
+                for sec in sorted(self.cfg.data.length_buckets):
+                    bs = min(int(sec * fs), L)
+                    if bs >= longest:
+                        bucket = bs
+                        break
+                if bucket < L:
+                    clean = np.ascontiguousarray(clean[:, :bucket])
+                    na = np.ascontiguousarray(na[:, :bucket])
+                    nb = np.ascontiguousarray(nb[:, :bucket])
+                    la = np.minimum(la, bucket)
+                    lb = np.minimum(lb, bucket)
                 if self.cfg.data.transfer_dtype == "int16":
                     clean = np.rint(clean).astype(np.int16)
                     na = np.rint(na).astype(np.int16)
                     nb = np.rint(nb).astype(np.int16)
                 batch = {"clean": clean, "noise_a": na, "noise_b": nb,
-                         "clean_len": lc, "len_a": la, "len_b": lb}
+                         "clean_len": lc, "len_a": la, "len_b": lb,
+                         "peaks": peaks}
                 while not self._stop.is_set():
                     try:
                         self._q.put(batch, timeout=0.5)

@@ -38,7 +38,9 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
                      noise_a: jnp.ndarray, noise_b: jnp.ndarray,
                      clean_len: jnp.ndarray, len_a: jnp.ndarray,
                      len_b: jnp.ndarray,
-                     slices: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+                     slices: Optional[int] = None,
+                     peaks: Optional[jnp.ndarray] = None
+                     ) -> Dict[str, jnp.ndarray]:
     """Build a training minibatch from raw waveform buffers.
 
     For the denoiser task, ``noise_a``/``noise_b`` are the positive and
@@ -64,17 +66,19 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
     noise_a = noise_a.astype(jnp.float32)
     noise_b = noise_b.astype(jnp.float32)
 
-    # --- normalize + trim (reference reader.py:186-198)
+    # --- normalize + trim (reference reader.py:186-198); peaks [B, 3],
+    # when provided by the loader, are the whole-file maxima (see loader)
+    pk = (lambda i: peaks[:, i] if peaks is not None else None)
     clean_len = _whole_frames(clean_len, fl, fs)
-    clean = mx.peak_normalize(clean, clean_len)
-    noise_a = mx.peak_normalize(noise_a, len_a)
+    clean = mx.peak_normalize(clean, clean_len, pk(0))
+    noise_a = mx.peak_normalize(noise_a, len_a, pk(1))
 
     snr_set = jnp.asarray(task.snr_set, jnp.float32)
     snr_a = snr_set[jax.random.randint(k_snr_a, (B,), 0, len(task.snr_set))]
     snr_b = snr_set[jax.random.randint(k_snr_b, (B,), 0, len(task.snr_set))]
 
     if task.two_noise_mixing:
-        noise_b = mx.peak_normalize(noise_b, len_b)
+        noise_b = mx.peak_normalize(noise_b, len_b, pk(2))
         mixed, target, pos_s, neg_s = mx.mix_two_noise(
             clean, noise_a, noise_b, clean_len, len_a, len_b, snr_a, snr_b)
         ctx_src_a, ctx_src_b = pos_s, neg_s

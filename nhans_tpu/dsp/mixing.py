@@ -24,10 +24,17 @@ def _mask(x: jnp.ndarray, length) -> jnp.ndarray:
     return (ar < jnp.asarray(length)[..., None]).astype(x.dtype)
 
 
-def peak_normalize(x: jnp.ndarray, length) -> jnp.ndarray:
-    """x / (max |x| + 1e-6) over the valid region (reference reader.py:187)."""
+def peak_normalize(x: jnp.ndarray, length, peak=None) -> jnp.ndarray:
+    """x / (max |x| + 1e-6) over the valid region (reference reader.py:187).
+
+    ``peak`` optionally supplies a host-computed whole-file peak (used when
+    the buffer was length-bucketed and may no longer contain the global
+    maximum)."""
     m = _mask(x, length)
-    peak = jnp.max(jnp.abs(x) * m, axis=-1, keepdims=True)
+    if peak is None:
+        peak = jnp.max(jnp.abs(x) * m, axis=-1, keepdims=True)
+    else:
+        peak = jnp.asarray(peak, x.dtype)[..., None]
     return x * m / (peak + _EPS)
 
 

@@ -67,7 +67,8 @@ def make_train_step(cfg: Config, model: NHANSNet, tx,
                 key: jax.Array):
         ex = make_train_batch(cfg, key, batch["clean"], batch["noise_a"],
                               batch["noise_b"], batch["clean_len"],
-                              batch["len_a"], batch["len_b"])
+                              batch["len_a"], batch["len_b"],
+                              peaks=batch.get("peaks"))
 
         def loss_fn(params):
             res, mut = model.apply(

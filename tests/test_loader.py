@@ -97,3 +97,21 @@ def test_save_load_variables(tmp_path):
     save_variables(path, v)
     out = load_variables(path, v)
     np.testing.assert_array_equal(out["params"]["a"], v["params"]["a"])
+
+
+def test_train_loader_length_bucketing(tmp_path):
+    """Batches of short utterances ride a small length bucket, with
+    whole-file peaks carried alongside for exact normalization."""
+    from nhans_tpu.data.loader import TrainLoader
+    cfg = _cfg(tmp_path, L=163600)  # corpus wavs are ~1 s
+    loader = TrainLoader(cfg, batch_utts=2)
+    try:
+        b = next(iter(loader))
+        assert b["clean"].shape[1] == 4 * 16000  # smallest bucket
+        assert b["clean"].dtype == np.int16
+        assert b["peaks"].shape == (2, 3)
+        assert (b["peaks"] > 0).all()
+        assert (b["clean_len"] <= 64000).all()
+        assert (b["len_a"] <= 64000).all()
+    finally:
+        loader.close()
