@@ -33,7 +33,8 @@ from nhans_tpu.train.step import (TrainState, create_state, make_train_step,
 
 
 class Trainer:
-    def __init__(self, cfg: Config, mesh=None, eval_utts: Optional[int] = 16):
+    def __init__(self, cfg: Config, mesh=None, eval_utts: Optional[int] = 16,
+                 eval_kwargs: Optional[dict] = None):
         self.cfg = cfg
         t = cfg.train
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -44,7 +45,7 @@ class Trainer:
                                        mesh=self.mesh, donate=t.donate_state)
         self.ckpt = Checkpointer(t.checkpoint_dir, t.checkpoints_to_keep,
                                  t.model_name)
-        self.evaluator = Evaluator(cfg, self.model)
+        self.evaluator = Evaluator(cfg, self.model, **(eval_kwargs or {}))
         self.writer = MetricsWriter(t.summaries_dir, t.model_name)
         self.monitor = Monitor(t.train_monitor_every, self.writer)
         self.eval_utts = eval_utts
