@@ -23,6 +23,11 @@ def main() -> None:
                    help="utterances per evaluation pass")
     p.add_argument("--profile_dir", default="",
                    help="capture a jax.profiler trace of steps 10-20 here")
+    import argparse as _ap
+    p.add_argument("--async_eval", action=_ap.BooleanOptionalAction,
+                   default=False,
+                   help="run periodic eval from checkpoint snapshots on a "
+                        "background thread instead of blocking training")
     add_reference_flags(p, inference=False)
     args = p.parse_args()
 
@@ -30,7 +35,7 @@ def main() -> None:
     import dataclasses
     cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, data_axis=args.data_axis,
-        profile_dir=args.profile_dir))
+        profile_dir=args.profile_dir, async_eval=args.async_eval))
 
     print("----------------------------- FLAGS VALUES "
           "--------------------------------")

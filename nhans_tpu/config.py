@@ -170,6 +170,7 @@ class TrainConfig:
     data_axis: int = 0             # mesh data-parallel axis size; 0 = all devices
     donate_state: bool = True
     profile_dir: str = ""          # capture a jax.profiler trace here
+    async_eval: bool = False       # evaluate from ckpt snapshots on a thread
 
 
 @dataclasses.dataclass(frozen=True)

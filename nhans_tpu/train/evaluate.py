@@ -139,11 +139,17 @@ class Evaluator:
     def run(self, variables, loader, step: int = 0, modelname: str = "nhans",
             wav_dump_folder: Optional[str] = None,
             dump_results: Optional[str] = None,
-            max_utts: Optional[int] = None) -> float:
-        """Evaluate over a loader; returns mean loss.  Optionally dumps
+            max_utts: Optional[int] = None,
+            return_metrics: bool = False):
+        """Evaluate over a loader; returns mean loss (or a metrics dict
+        with SI-SDR when ``return_metrics``).  Optionally dumps
         reconstruction wavs + channel npys like the reference
-        (main.py:339-353,539-543)."""
+        (main.py:339-353,539-543).  SI-SDR of denoised-vs-target and
+        mixed-vs-target is reported alongside the loss — the quality
+        metric BASELINE.md tracks (the reference only prints loss)."""
+        from nhans_tpu.utils.scoring import si_sdr
         losses, counts = [], []
+        sisdr_out, sisdr_in = [], []
         fs = self.cfg.audio.sample_rate
         for i, ex in enumerate(loader):
             if max_utts is not None and i >= max_utts:
@@ -163,6 +169,12 @@ class Evaluator:
             nv = int(np.asarray(valid).sum())
             losses.append(float(loss) * nv)
             counts.append(nv)
+            n = int(n_out)
+            den = np.asarray(wavs["denoised"])[:n]
+            mix = np.asarray(wavs["mixed"])[:n]
+            tgt = np.asarray(wavs["target"])[:n]
+            sisdr_out.append(si_sdr(den, tgt))
+            sisdr_in.append(si_sdr(mix, tgt))
             if wav_dump_folder:
                 names = {
                     "clean": os.path.basename(ex["cleanpath"])[:-4],
@@ -185,4 +197,15 @@ class Evaluator:
         total = max(sum(counts), 1)
         mean_loss = sum(losses) / total
         print(f"loss: {mean_loss}")
+        metrics = {
+            "eval_loss": mean_loss,
+            "si_sdr": float(np.mean(sisdr_out)) if sisdr_out else 0.0,
+            "si_sdr_mixed": float(np.mean(sisdr_in)) if sisdr_in else 0.0,
+        }
+        metrics["si_sdr_gain"] = metrics["si_sdr"] - metrics["si_sdr_mixed"]
+        print(f"si_sdr: {metrics['si_sdr']:.2f} dB "
+              f"(mixed: {metrics['si_sdr_mixed']:.2f} dB, "
+              f"gain: {metrics['si_sdr_gain']:+.2f} dB)")
+        if return_metrics:
+            return metrics
         return mean_loss

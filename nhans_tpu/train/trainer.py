@@ -82,20 +82,38 @@ class Trainer:
         return {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
 
-    def save_and_eval(self) -> None:
+    def save_and_eval(self, async_eval: bool = False) -> None:
         t = self.cfg.train
         print("Saving and restoring the model")
-        self.ckpt.save(self.tstep, jax.device_get(self.state))
-        print("----------------- TEST MONITOR ----------------------")
-        loader = EvalLoader(self.cfg, limit=self.eval_utts)
-        loss = self.evaluator.run(
-            self._variables(), loader, step=self.tstep,
-            modelname=t.model_name,
-            wav_dump_folder=t.wav_dump_folder or None,
-            dump_results=t.dump_results or None,
-            max_utts=self.eval_utts)
-        self.writer.write(self.tstep, {"eval_loss": loss})
-        print("-----------------------------------------------------")
+        snapshot = jax.device_get(self.state)
+        self.ckpt.save(self.tstep, snapshot)
+        step = self.tstep
+
+        def _eval():
+            print("----------------- TEST MONITOR ----------------------")
+            loader = EvalLoader(self.cfg, limit=self.eval_utts)
+            metrics = self.evaluator.run(
+                {"params": snapshot.params,
+                 "batch_stats": snapshot.batch_stats},
+                loader, step=step, modelname=t.model_name,
+                wav_dump_folder=t.wav_dump_folder or None,
+                dump_results=t.dump_results or None,
+                max_utts=self.eval_utts, return_metrics=True)
+            self.writer.write(step, metrics)
+            print("-----------------------------------------------------")
+
+        if async_eval:
+            # eval from the checkpoint snapshot on a host thread; eval
+            # programs interleave with train steps on the device instead
+            # of blocking the loop (the reference blocks, main.py:594-595)
+            if getattr(self, "_eval_thread", None) and \
+                    self._eval_thread.is_alive():
+                self._eval_thread.join()
+            import threading
+            self._eval_thread = threading.Thread(target=_eval, daemon=True)
+            self._eval_thread.start()
+        else:
+            _eval()
 
     def train(self) -> None:
         cfg, t = self.cfg, self.cfg.train
@@ -140,11 +158,14 @@ class Trainer:
                         }, iw)
                     pending = []
                 if self.tstep % t.eval_every == 0:
-                    self.save_and_eval()
+                    self.save_and_eval(async_eval=t.async_eval)
             if t.eval_after_training:
                 print("processing eval after training")
                 self.save_and_eval()
         finally:
+            th = getattr(self, "_eval_thread", None)
+            if th is not None and th.is_alive():
+                th.join()
             loader.close()
             self.ckpt.wait()
             self.writer.close()
