@@ -12,7 +12,7 @@ def test_audio_contract():
     assert a.frame_step == 160
     assert a.num_features == 201
     assert a.num_frames(16000) == 98
-    assert a.trim_to_whole_frames(16001) == 15920 + 80  # 16000
+    assert a.trim_to_whole_frames(16001) == 15920  # 400 + 97*160
     assert (a.trim_to_whole_frames(49600) - 400) % 160 == 0
 
 
