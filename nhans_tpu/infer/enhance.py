@@ -68,9 +68,15 @@ class Enhancer:
 
         pad_before, pad_after = ((W + 1) // 2) - 1, W // 2
 
-        def program(variables, mixed, pos, neg, n_mixed, n_pos, n_neg):
-            # mixed: [B, L]; pos/neg: [B, ctx_n]; n_*: [B] valid lengths.
+        def program(variables, mixed, pos, neg, n_mixed, n_pos, n_neg,
+                    peaks):
+            # mixed: [B, L] int16 RAW samples (normalization happens here,
+            # with host-computed whole-file peaks [B, 3], halving the
+            # host->device wire); pos/neg: [B, ctx_n]; n_*: valid lengths.
             B = mixed.shape[0]
+            mixed = mixed.astype(jnp.float32) / (peaks[:, 0:1] + 1e-6)
+            pos = pos.astype(jnp.float32) / (peaks[:, 1:2] + 1e-6)
+            neg = neg.astype(jnp.float32) / (peaks[:, 2:3] + 1e-6)
             logmag, phase = sp.spectrogram(mixed, fl, fs, a.log_eps)
             nf = 1 + jnp.maximum(n_mixed - fl, 0) // fs          # [B]
             fmask = (jnp.arange(F)[None, :] < nf[:, None])        # [B, F]
@@ -131,7 +137,7 @@ class Enhancer:
 
             denoised_wav = recon(denoised_lm)
             mixed_wav = recon(logmag)
-            removed_wav = mixed_wav - denoised_wav
+            removed_wav = mixed_wav - denoised_wav  # only scalars leave
 
             n_out = fs * (nf - 1) + fl                            # [B] valid samples
             smask = (jnp.arange(denoised_wav.shape[-1])[None, :]
@@ -139,8 +145,10 @@ class Enhancer:
             d2 = jnp.sum(jnp.square(denoised_wav) * smask, axis=-1)
             r2 = jnp.sum(jnp.square(removed_wav) * smask, axis=-1)
             snr_est = d2 / jnp.maximum(r2, 1e-12)                 # apply.py:463
-            return (denoised_wav * smask, mixed_wav * smask,
-                    removed_wav * smask, snr_est, n_out)
+            # `removed` itself is NOT returned: the host derives it as
+            # mixed_processed - denoised, saving a third of the
+            # device->host transfer.
+            return (denoised_wav * smask, mixed_wav * smask, snr_est, n_out)
 
         return jax.jit(program)
 
@@ -158,13 +166,14 @@ class Enhancer:
     # public API
     # ------------------------------------------------------------------ #
 
-    def prepare_wave(self, samples: np.ndarray) -> Tuple[np.ndarray, int]:
-        """Peak-normalize and trim to whole frames (reference
-        apply.py:142-163, ``handle_signals``)."""
+    def prepare_wave(self, samples: np.ndarray) -> Tuple[np.ndarray, int, float]:
+        """Trim to whole frames; normalization happens on device with the
+        whole-file peak computed here (reference apply.py:142-163
+        ``handle_signals`` semantics, int16 on the wire)."""
         a = self.cfg.audio
-        x = samples / (np.max(np.abs(samples)) + 1e-6)
-        n = a.trim_to_whole_frames(len(x))
-        return x[:n].astype(np.float32), n
+        peak = float(np.max(np.abs(samples))) if len(samples) else 0.0
+        n = a.trim_to_whole_frames(len(samples))
+        return np.rint(samples[:n]).astype(np.int16), n, peak
 
     def enhance_batch(self, mixed_list, pos_list, neg_list) -> Dict[str, list]:
         """Enhance a batch of raw (un-normalized) waveforms together.
@@ -183,33 +192,36 @@ class Enhancer:
         n_mixed = np.array([p[1] for p in prep], np.int32)
         program, bucket = self._program_for(int(n_mixed.max()), B)
 
-        mixed = np.zeros((B, bucket), np.float32)
-        for i, (x, n) in enumerate(prep):
+        peaks = np.zeros((B, 3), np.float32)
+        mixed = np.zeros((B, bucket), np.int16)
+        for i, (x, n, pk) in enumerate(prep):
             mixed[i, :n] = x
+            peaks[i, 0] = pk
 
-        def ctx_buf(waves):
-            buf = np.zeros((B, ctx_n), np.float32)
+        def ctx_buf(waves, col):
+            buf = np.zeros((B, ctx_n), np.int16)
             lens = np.zeros((B,), np.int32)
             for i, w in enumerate(waves):
-                x = w / (np.max(np.abs(w)) + 1e-6)
-                n = min(len(x), ctx_n)
-                buf[i, :n] = x[:n]
+                peaks[i, col] = np.max(np.abs(w)) if len(w) else 0.0
+                n = min(len(w), ctx_n)
+                buf[i, :n] = np.rint(w[:n]).astype(np.int16)
                 lens[i] = n
             return buf, lens
 
-        pos, n_pos = ctx_buf(pos_list)
-        neg, n_neg = ctx_buf(neg_list)
+        pos, n_pos = ctx_buf(pos_list, 1)
+        neg, n_neg = ctx_buf(neg_list, 2)
 
-        den, mix, rem, snr, n_out = program(
+        den, mix, snr, n_out = program(
             self.variables, jnp.asarray(mixed), jnp.asarray(pos),
             jnp.asarray(neg), jnp.asarray(n_mixed), jnp.asarray(n_pos),
-            jnp.asarray(n_neg))
-        den, mix, rem = np.asarray(den), np.asarray(mix), np.asarray(rem)
+            jnp.asarray(n_neg), jnp.asarray(peaks))
+        den, mix = np.asarray(den), np.asarray(mix)
         n_out = np.asarray(n_out)
         return {
             "denoised": [den[i, :n_out[i]] for i in range(nreal)],
             "mixed_processed": [mix[i, :n_out[i]] for i in range(nreal)],
-            "removed": [rem[i, :n_out[i]] for i in range(nreal)],
+            "removed": [mix[i, :n_out[i]] - den[i, :n_out[i]]
+                        for i in range(nreal)],
             "snr_est": np.asarray(snr)[:nreal],
         }
 
