@@ -175,11 +175,9 @@ class Enhancer:
         n = a.trim_to_whole_frames(len(samples))
         return np.rint(samples[:n]).astype(np.int16), n, peak
 
-    def enhance_batch(self, mixed_list, pos_list, neg_list) -> Dict[str, list]:
-        """Enhance a batch of raw (un-normalized) waveforms together.
-        All utterances share one program call sized by the longest one.
-        The batch dim is bucketed to powers of two so ragged folder-mode
-        remainders reuse compiled programs."""
+    def _dispatch(self, mixed_list, pos_list, neg_list):
+        """Host prep + async program dispatch; returns (device outputs,
+        nreal, n_out is part of outputs).  Pair with :meth:`_materialize`."""
         a = self.cfg.audio
         ctx_n = context_samples(self.cfg)
         nreal = len(mixed_list)
@@ -211,10 +209,15 @@ class Enhancer:
         pos, n_pos = ctx_buf(pos_list, 1)
         neg, n_neg = ctx_buf(neg_list, 2)
 
-        den, mix, snr, n_out = program(
+        outs = program(
             self.variables, jnp.asarray(mixed), jnp.asarray(pos),
             jnp.asarray(neg), jnp.asarray(n_mixed), jnp.asarray(n_pos),
             jnp.asarray(n_neg), jnp.asarray(peaks))
+        return outs, nreal
+
+    @staticmethod
+    def _materialize(outs, nreal) -> Dict[str, list]:
+        den, mix, snr, n_out = outs
         den, mix = np.asarray(den), np.asarray(mix)
         n_out = np.asarray(n_out)
         return {
@@ -224,6 +227,28 @@ class Enhancer:
                         for i in range(nreal)],
             "snr_est": np.asarray(snr)[:nreal],
         }
+
+    def enhance_batch(self, mixed_list, pos_list, neg_list) -> Dict[str, list]:
+        """Enhance a batch of raw (un-normalized) waveforms together.
+        All utterances share one program call sized by the longest one.
+        The batch dim is bucketed to powers of two so ragged folder-mode
+        remainders reuse compiled programs."""
+        outs, nreal = self._dispatch(mixed_list, pos_list, neg_list)
+        return self._materialize(outs, nreal)
+
+    def enhance_stream(self, batches, depth: int = 2):
+        """Steady-state serving: iterate over (mixed_list, pos_list,
+        neg_list) batches keeping ``depth`` program calls in flight so
+        host prep + transfers overlap device compute.  Yields result
+        dicts in order."""
+        import collections
+        q = collections.deque()
+        for batch in batches:
+            q.append(self._dispatch(*batch))
+            if len(q) >= depth:
+                yield self._materialize(*q.popleft())
+        while q:
+            yield self._materialize(*q.popleft())
 
     def enhance(self, mixed: np.ndarray, pos: np.ndarray,
                 neg: np.ndarray) -> Dict[str, np.ndarray]:
