@@ -19,7 +19,7 @@ import sys
 
 import numpy as np
 
-from nhans_tpu.config import Config, add_reference_flags, config_from_args
+from nhans_tpu.config import Config, add_reference_flags
 from nhans_tpu.utils import wavio
 
 

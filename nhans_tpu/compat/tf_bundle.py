@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ reference users keep their muscle memory.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 
 @dataclasses.dataclass(frozen=True)

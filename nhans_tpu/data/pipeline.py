@@ -13,7 +13,7 @@ spectrogram has F = num_frames(L) frames of which ``nf[b]`` are valid.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,7 @@ one jit-compiled XLA program per length bucket, with:
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

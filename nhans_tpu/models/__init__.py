@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from nhans_tpu.config import Config, ModelConfig
+from nhans_tpu.config import Config
 from nhans_tpu.nn.model import NHANSNet
 
 

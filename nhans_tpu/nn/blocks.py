@@ -14,7 +14,7 @@ Convs run NHWC/HWIO — XLA:TPU's native layout for the MXU.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple, Union
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

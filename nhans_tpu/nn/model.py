@@ -23,7 +23,7 @@ Topology (reference main.py:190-242):
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -18,7 +18,7 @@ main tower in fixed chunks with the contexts encoded once.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

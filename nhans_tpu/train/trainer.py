@@ -28,7 +28,7 @@ from nhans_tpu.parallel.mesh import batch_sharding, make_mesh
 from nhans_tpu.train.checkpoint import Checkpointer
 from nhans_tpu.train.evaluate import Evaluator
 from nhans_tpu.train.metrics import MetricsWriter, Monitor
-from nhans_tpu.train.step import (TrainState, create_state, make_train_step,
+from nhans_tpu.train.step import (create_state, make_train_step,
                                   param_counts)
 
 

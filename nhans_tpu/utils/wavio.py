@@ -14,8 +14,6 @@ the reference README promises but never ships.
 from __future__ import annotations
 
 import os
-from typing import Tuple
-
 import numpy as np
 from scipy.io import wavfile
 from scipy.signal import resample_poly
