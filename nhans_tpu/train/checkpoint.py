@@ -74,6 +74,9 @@ def load_variables(path: str, template: Any = None) -> Any:
     Checkpointer step directory.
     """
     path = os.path.abspath(path)
+    # CheckpointManager step dirs nest the pytree under 'default'
+    if os.path.isdir(os.path.join(path, "default")):
+        path = os.path.join(path, "default")
     ckptr = ocp.StandardCheckpointer()
     try:
         if template is not None:

@@ -25,6 +25,7 @@ setup(
             "nhans_separator = nhans_tpu.cli.separator:main",
             "nhans_train = nhans_tpu.cli.train:main",
             "nhans_seeds = nhans_tpu.cli.seeds:main",
+            "nhans_evaluate = nhans_tpu.cli.evaluate:main",
             "load_denoiser = nhans_tpu.cli.load_model:main_denoiser",
             "load_separator = nhans_tpu.cli.load_model:main_separator",
         ]
