@@ -118,13 +118,24 @@ def run(task: str) -> None:
                 n, n, 0.0)
         return np.asarray(mixed, np.float64)
 
+    # very long inputs go through the exact segmented path (fixed set of
+    # compiled programs regardless of duration)
+    long_threshold = enhancer.buckets[-1]
+
+    def run_batch(waves):
+        if len(waves) == 1 and len(waves[0]) > long_threshold:
+            r = enhancer.enhance_long(waves[0], ctx_a, ctx_b)
+            return {k: ([v] if not isinstance(v, float) else np.array([v]))
+                    for k, v in r.items()}
+        return enhancer.enhance_batch(
+            waves, [ctx_a] * len(waves), [ctx_b] * len(waves))
+
     # folder mode batches utterances through one XLA program
     batch = 8 if len(inputs) > 1 else 1
     for i in range(0, len(inputs), batch):
         chunk_in = inputs[i:i + batch]
         waves = [maybe_mix(_read(p, fs)) for p in chunk_in]
-        res = enhancer.enhance_batch(
-            waves, [ctx_a] * len(waves), [ctx_b] * len(waves))
+        res = run_batch(waves)
         for j, out_path in enumerate(outputs[i:i + batch]):
             den = res["denoised"][j]
             mix = res["mixed_processed"][j]

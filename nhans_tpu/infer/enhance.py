@@ -68,17 +68,22 @@ class Enhancer:
         pad_before, pad_after = ((W + 1) // 2) - 1, W // 2
 
         def program(variables, mixed, pos, neg, n_mixed, n_pos, n_neg,
-                    peaks):
+                    peaks, keep_from, keep_until):
             # mixed: [B, L] int16 RAW samples (normalization happens here,
             # with host-computed whole-file peaks [B, 3], halving the
             # host->device wire); pos/neg: [B, ctx_n]; n_*: valid lengths.
+            # keep_from/keep_until [B]: only frames in [keep_from,
+            # min(keep_until, nf)) contribute to the reconstruction — used
+            # by the segmented long-audio path to excise halo frames.
             B = mixed.shape[0]
             mixed = mixed.astype(jnp.float32) / (peaks[:, 0:1] + 1e-6)
             pos = pos.astype(jnp.float32) / (peaks[:, 1:2] + 1e-6)
             neg = neg.astype(jnp.float32) / (peaks[:, 2:3] + 1e-6)
             logmag, phase = sp.spectrogram(mixed, fl, fs, a.log_eps)
             nf = 1 + jnp.maximum(n_mixed - fl, 0) // fs          # [B]
-            fmask = (jnp.arange(F)[None, :] < nf[:, None])        # [B, F]
+            far = jnp.arange(F)[None, :]
+            fmask = ((far < jnp.minimum(nf, keep_until)[:, None])
+                     & (far >= keep_from[:, None]))               # [B, F]
 
             # ---- contexts: first 200 frames, cyclically tiled if short
             pos_lm, _ = sp.spectrogram(pos, fl, fs, a.log_eps)    # [B, Fc, 201]
@@ -208,10 +213,13 @@ class Enhancer:
         pos, n_pos = ctx_buf(pos_list, 1)
         neg, n_neg = ctx_buf(neg_list, 2)
 
+        F = sp.num_frames(bucket, self.cfg.audio.frame_length,
+                          self.cfg.audio.frame_step)
         outs = program(
             self.variables, jnp.asarray(mixed), jnp.asarray(pos),
             jnp.asarray(neg), jnp.asarray(n_mixed), jnp.asarray(n_pos),
-            jnp.asarray(n_neg), jnp.asarray(peaks))
+            jnp.asarray(n_neg), jnp.asarray(peaks),
+            jnp.zeros((B,), jnp.int32), jnp.full((B,), F, jnp.int32))
         return outs, nreal
 
     @staticmethod
@@ -234,6 +242,93 @@ class Enhancer:
         remainders reuse compiled programs."""
         outs, nreal = self._dispatch(mixed_list, pos_list, neg_list)
         return self._materialize(outs, nreal)
+
+    def enhance_long(self, mixed: np.ndarray, pos: np.ndarray,
+                     neg: np.ndarray, segment_seconds: float = 32.0,
+                     segment_batch: int = 8) -> Dict[str, np.ndarray]:
+        """Enhance arbitrarily long audio with a FIXED set of compiled
+        programs by frame-segmenting the utterance.
+
+        Exactness: each sliding window only sees +-17 frames, so segments
+        carry a 17-frame halo and only their core frames contribute to the
+        reconstruction (keep_from/keep_until masks); overlap-add is linear,
+        so summing per-segment waveforms at their global offsets
+        reproduces the unsegmented result bit-for-bit (up to fp addition
+        order).  Reference behavior at the global edges (zero-padded first/
+        last windows) is preserved because edge segments get no halo there.
+        """
+        a = self.cfg.audio
+        fl, fs = a.frame_length, a.frame_step
+        H = ((self.cfg.model.window_frames + 1) // 2) - 1  # 17
+        ctx_n = context_samples(self.cfg)
+
+        wav, n, peak = self.prepare_wave(mixed)
+        F_total = sp.num_frames(n, fl, fs)
+        seg_n = a.trim_to_whole_frames(int(segment_seconds * a.sample_rate))
+        F_seg = sp.num_frames(seg_n, fl, fs)
+        core = max(F_seg - 2 * H, 1)
+        program, bucket = self._program_for(seg_n, segment_batch)
+        Lseg = bucket
+
+        # context buffers (shared by every segment row)
+        def ctx_row(w):
+            b = np.zeros(ctx_n, np.int16)
+            m = min(len(w), ctx_n)
+            b[:m] = np.rint(w[:m]).astype(np.int16)
+            return b, m, (np.max(np.abs(w)) if len(w) else 0.0)
+
+        pos_b, n_pos, pk_pos = ctx_row(pos)
+        neg_b, n_neg, pk_neg = ctx_row(neg)
+
+        cores = list(range(0, F_total, core))
+        out_len = fs * (F_total - 1) + fl
+        den_full = np.zeros(out_len, np.float64)
+        mix_full = np.zeros(out_len, np.float64)
+
+        for i0 in range(0, len(cores), segment_batch):
+            group = cores[i0:i0 + segment_batch]
+            B = segment_batch
+            seg = np.zeros((B, Lseg), np.int16)
+            n_seg = np.zeros((B,), np.int32)
+            keep_from = np.zeros((B,), np.int32)
+            keep_until = np.zeros((B,), np.int32)
+            offsets = np.zeros((B,), np.int64)
+            peaks = np.zeros((B, 3), np.float32)
+            peaks[:, 0], peaks[:, 1], peaks[:, 2] = peak, pk_pos, pk_neg
+            for j, c0 in enumerate(group):
+                c1 = min(c0 + core, F_total)
+                h_l = min(H, c0)
+                h_r = min(H, F_total - c1)
+                count = (c1 - c0) + h_l + h_r
+                s0 = (c0 - h_l) * fs
+                ns = min((count - 1) * fs + fl, n - s0)
+                seg[j, :ns] = wav[s0:s0 + ns]
+                n_seg[j] = ns
+                keep_from[j] = h_l
+                keep_until[j] = h_l + (c1 - c0)
+                offsets[j] = s0
+            # padded rows keep nothing (keep_until == keep_from == 0)
+            den, mix, _snr, _n_out = program(
+                self.variables, jnp.asarray(seg),
+                jnp.asarray(np.tile(pos_b, (B, 1))),
+                jnp.asarray(np.tile(neg_b, (B, 1))),
+                jnp.asarray(n_seg),
+                jnp.full((B,), n_pos, np.int32),
+                jnp.full((B,), n_neg, np.int32),
+                jnp.asarray(peaks),
+                jnp.asarray(keep_from), jnp.asarray(keep_until))
+            den, mix = np.asarray(den), np.asarray(mix)
+            for j in range(len(group)):
+                o = offsets[j]
+                span = min(den.shape[1], out_len - o)
+                den_full[o:o + span] += den[j, :span]
+                mix_full[o:o + span] += mix[j, :span]
+
+        removed = mix_full - den_full
+        snr_est = (np.mean(np.square(den_full))
+                   / max(np.mean(np.square(removed)), 1e-12))
+        return {"denoised": den_full, "mixed_processed": mix_full,
+                "removed": removed, "snr_est": float(snr_est)}
 
     def enhance_stream(self, batches, depth: int = 2):
         """Steady-state serving: iterate over (mixed_list, pos_list,

@@ -52,3 +52,26 @@ def test_context_samples():
     cfg = Config.denoiser()
     # 200 frames x 160 hop + 400-160 remainder = 32240 samples
     assert context_samples(cfg) == 32240
+
+
+@pytest.mark.slow
+def test_enhance_long_matches_unsegmented(rng):
+    """Segmented long-audio enhancement must equal the one-shot program
+    (windows only see +-17 frames; OLA is linear)."""
+    cfg = Config.denoiser()
+    _, variables = init_variables(cfg, jax.random.PRNGKey(0), train=False)
+    enh = Enhancer(cfg, variables, window_chunk=32, buckets_seconds=(1, 3))
+
+    mixed = rng.standard_normal(40000) * 1000  # 2.5 s
+    pos = np.zeros(4000)
+    neg = rng.standard_normal(9000) * 500
+
+    whole = enh.enhance(mixed, pos, neg)
+    seg = enh.enhance_long(mixed, pos, neg, segment_seconds=1.0,
+                           segment_batch=2)
+    n = len(whole["denoised"])
+    assert len(seg["denoised"]) == n
+    np.testing.assert_allclose(seg["denoised"][:n], whole["denoised"],
+                               atol=2e-4)
+    np.testing.assert_allclose(seg["mixed_processed"][:n],
+                               whole["mixed_processed"], atol=2e-4)
