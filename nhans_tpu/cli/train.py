@@ -23,6 +23,13 @@ def main() -> None:
                    help="utterances per evaluation pass")
     p.add_argument("--profile_dir", default="",
                    help="capture a jax.profiler trace of steps 10-20 here")
+    p.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="model compute dtype (bfloat16 for peak MXU "
+                        "throughput; float32 for strict parity)")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize main-tower blocks on backward "
+                        "(activation memory for FLOPs)")
     import argparse as _ap
     p.add_argument("--async_eval", action=_ap.BooleanOptionalAction,
                    default=False,
@@ -36,6 +43,9 @@ def main() -> None:
     cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, data_axis=args.data_axis,
         profile_dir=args.profile_dir, async_eval=args.async_eval))
+    if args.dtype != "float32" or args.remat:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, compute_dtype=args.dtype, remat=args.remat))
 
     print("----------------------------- FLAGS VALUES "
           "--------------------------------")

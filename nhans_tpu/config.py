@@ -88,6 +88,9 @@ class ModelConfig:
     loss_weight_lo: float = 1.0
     # Compute dtype: float32 for strict parity; bfloat16 for peak MXU throughput.
     compute_dtype: str = "float32"
+    # Rematerialize main-tower blocks on the backward pass (trade FLOPs
+    # for activation memory at large batches; jax.checkpoint).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -215,11 +215,13 @@ class NHANSNet(nn.Module):
             return emb_a, emb_b
 
         out = mixed[..., None]
+        block_cls = (nn.remat(CondResBlock, static_argnums=(4,))
+                     if cfg.remat else CondResBlock)
         for i, (k, s, c) in enumerate(cfg.main_blocks):
-            out = CondResBlock(c, k, s, cfg.pos_embed_hidden, cfg.w_std,
-                               cfg.b_init, cfg.bn_decay, dtype,
-                               name=f"resblock{i + 1}")(
-                                   out, emb_a, emb_b, train)
+            out = block_cls(c, k, s, cfg.pos_embed_hidden, cfg.w_std,
+                            cfg.b_init, cfg.bn_decay, dtype,
+                            name=f"resblock{i + 1}")(
+                                out, emb_a, emb_b, train)
 
         # Head: time-collapsing VALID conv (reference main.py:232-238)
         out = Conv(cfg.embedding_dim, (out.shape[1], 1), (1, 1),

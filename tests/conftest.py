@@ -18,6 +18,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The persistent compilation cache (enabled by nhans_tpu for the TPU
+# tunnel) can replay CPU AOT artifacts with mismatched host features;
+# disable it for the CPU test environment.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
