@@ -190,10 +190,18 @@ class Evaluator:
                     wavio.write_wav(os.path.join(wav_dump_folder, fname),
                                     np.asarray(w)[:n], fs)
             if dump_results:
+                # per-channel npy dumps (reference main.py:539-543 dumps
+                # every model output channel; here: per-window loss + the
+                # reconstruction waveforms)
                 os.makedirs(dump_results, exist_ok=True)
                 np.save(os.path.join(
                     dump_results, f"{modelname}_eval_{step}_loss_{i}"),
                     np.asarray(ex_loss)[np.asarray(valid)])
+                for kind, w in wavs.items():
+                    np.save(os.path.join(
+                        dump_results,
+                        f"{modelname}_eval_{step}_{kind}_{i}"),
+                        np.asarray(w)[:n])
         total = max(sum(counts), 1)
         mean_loss = sum(losses) / total
         print(f"loss: {mean_loss}")
