@@ -52,8 +52,11 @@ class Dense(nn.Module):
     def __call__(self, x):
         w = self.param("w", trunc_normal(self.w_std),
                        (x.shape[-1], self.features))
-        y = jnp.matmul(x.astype(self.dtype), w.astype(self.dtype),
-                       preferred_element_type=jnp.float32)
+        # No preferred_element_type upcast in reduced precision: the MXU
+        # accumulates bf16 matmuls in f32 internally, and keeping the
+        # output dtype == input dtype keeps conv/matmul transposes
+        # well-typed under autodiff.
+        y = jnp.matmul(x.astype(self.dtype), w.astype(self.dtype))
         if self.use_bias:
             b = self.param("b", nn.initializers.constant(self.b_init),
                            (self.features,))
@@ -82,7 +85,6 @@ class Conv(nn.Module):
             x.astype(self.dtype), w.astype(self.dtype),
             window_strides=self.strides, padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             b = self.param("b", nn.initializers.constant(self.b_init),

@@ -18,10 +18,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# The persistent compilation cache (enabled by nhans_tpu for the TPU
-# tunnel) can replay CPU AOT artifacts with mismatched host features;
-# disable it for the CPU test environment.
-jax.config.update("jax_enable_compilation_cache", False)
+# Use a test-only persistent cache dir: sharing the TPU-session cache can
+# replay CPU AOT artifacts compiled with mismatched host-feature sets
+# (XLA warns about possible SIGILL); an isolated dir only ever holds
+# artifacts compiled by this same environment.
+_test_cache = os.path.join(os.path.expanduser("~"), ".cache",
+                           "nhans_tpu_jax_cpu_tests")
+os.makedirs(_test_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _test_cache)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
