@@ -28,6 +28,13 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if data is None or data <= 0:
         data = len(devices) // model
+    if len(devices) < data * model:
+        raise ValueError(
+            f"make_mesh: requested data={data} x model={model} = "
+            f"{data * model} devices but only {len(devices)} visible "
+            f"({[str(d) for d in devices]}); for CPU-simulated meshes set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N and force "
+            f"jax.config.update('jax_platforms', 'cpu') before backend init")
     devices = devices[:data * model]
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
