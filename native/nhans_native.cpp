@@ -63,8 +63,11 @@ bool parse_header(FILE* f, WavInfo* info) {
 // scale).  Returns number of samples written, or a negative error code:
 //   -1 open failed   -2 bad riff   -3 unsupported format
 //   -4 wrong sample rate
+// If `peak` is non-null it receives max(|x|) over the WHOLE file (the
+// reference normalizes by the whole-file peak, reader.py:186-189, even
+// when the decode buffer caps the sample count).
 int64_t decode_one(const char* path, float* out, int64_t max_samples,
-                   int32_t expect_rate) {
+                   int32_t expect_rate, float* peak) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   WavInfo info;
@@ -82,12 +85,13 @@ int64_t decode_one(const char* path, float* out, int64_t max_samples,
     return -4;
   }
   const int ch = info.channels;
-  int64_t frames = info.data_bytes / (2 * ch);
+  const int64_t total_frames = info.data_bytes / (2 * ch);
+  int64_t frames = total_frames;
   if (frames > max_samples) frames = max_samples;
   std::vector<int16_t> buf(static_cast<size_t>(frames) * ch);
   size_t got = fread(buf.data(), 2 * ch, frames, f);
-  fclose(f);
   frames = static_cast<int64_t>(got);
+  float pk = 0.f;
   if (ch == 1) {
     for (int64_t i = 0; i < frames; ++i) out[i] = (float)buf[i];
   } else {
@@ -99,6 +103,32 @@ int64_t decode_one(const char* path, float* out, int64_t max_samples,
       out[i] = acc * inv;
     }
   }
+  for (int64_t i = 0; i < frames; ++i) {
+    const float a = out[i] < 0 ? -out[i] : out[i];
+    if (a > pk) pk = a;
+  }
+  // Scan the remainder of the data chunk (beyond the buffer cap) so the
+  // peak covers the whole file.
+  if (peak && frames == max_samples && total_frames > frames) {
+    const float inv = 1.0f / ch;
+    std::vector<int16_t> tail(4096 * ch);
+    int64_t left = total_frames - frames;
+    while (left > 0) {
+      int64_t want = left < 4096 ? left : 4096;
+      size_t n = fread(tail.data(), 2 * ch, want, f);
+      if (n == 0) break;
+      for (size_t i = 0; i < n; ++i) {
+        float acc = 0.f;
+        for (int c = 0; c < ch; ++c) acc += (float)tail[i * ch + c];
+        float v = ch == 1 ? (float)tail[i] : acc * inv;
+        if (v < 0) v = -v;
+        if (v > pk) pk = v;
+      }
+      left -= static_cast<int64_t>(n);
+    }
+  }
+  fclose(f);
+  if (peak) *peak = pk;
   return frames;
 }
 
@@ -107,18 +137,20 @@ int64_t decode_one(const char* path, float* out, int64_t max_samples,
 extern "C" {
 
 // Decode a single wav; returns sample count or negative error code.
+// `peak` (nullable) receives the whole-file max(|x|).
 int64_t nhans_read_wav(const char* path, float* out, int64_t max_samples,
-                       int32_t expect_rate) {
-  return decode_one(path, out, max_samples, expect_rate);
+                       int32_t expect_rate, float* peak) {
+  return decode_one(path, out, max_samples, expect_rate, peak);
 }
 
 // Decode a batch of n wavs into out[n * max_samples] (zero-padded), with
-// per-file lengths in lens[n] (negative on per-file error).  Buffers must
-// be pre-zeroed by the caller if padding zeros matter.  Returns 0, or the
-// count of files that failed.
+// per-file lengths in lens[n] (negative on per-file error) and whole-file
+// peaks in peaks[n] (nullable).  Buffers must be pre-zeroed by the caller
+// if padding zeros matter.  Returns 0, or the count of files that failed.
 int32_t nhans_load_batch(const char** paths, int32_t n, float* out,
                          int64_t max_samples, int64_t* lens,
-                         int32_t expect_rate, int32_t num_threads) {
+                         int32_t expect_rate, int32_t num_threads,
+                         float* peaks) {
   if (num_threads < 1) num_threads = 1;
   if (num_threads > n) num_threads = n > 0 ? n : 1;
   std::atomic<int32_t> next(0), failed(0);
@@ -127,7 +159,8 @@ int32_t nhans_load_batch(const char** paths, int32_t n, float* out,
       int32_t i = next.fetch_add(1);
       if (i >= n) return;
       int64_t r = decode_one(paths[i], out + (int64_t)i * max_samples,
-                             max_samples, expect_rate);
+                             max_samples, expect_rate,
+                             peaks ? peaks + i : nullptr);
       lens[i] = r;
       if (r < 0) failed.fetch_add(1);
     }

@@ -56,6 +56,37 @@ def _silent(fs: int) -> np.ndarray:
     return np.zeros(fs, np.float64)
 
 
+def demo_mix(cfg: Config, task: str, clean: np.ndarray, pos: np.ndarray,
+             neg: np.ndarray) -> np.ndarray:
+    """--demo: mix the clean input with the contexts at 0 dB first
+    (reference apply_demo, apply.py:129-135 uses SNRs[1] == 0).
+
+    Returns an INT16-SCALE float signal: the mixers peak-normalize to
+    |x| <= 1.0, but the Enhancer expects int16-scale input
+    (prepare_wave rounds to int16 for the wire), so the result is scaled
+    back up — without this the demo signal quantizes to {-1, 0, 1}."""
+    import jax.numpy as jnp
+    from nhans_tpu.dsp import mixing as mx
+    c = clean / (np.max(np.abs(clean)) + 1e-6)
+    n = cfg.audio.trim_to_whole_frames(len(c))
+    c = c[:n]
+    if task == "denoiser":
+        p = pos / (np.max(np.abs(pos)) + 1e-6)
+        ng = neg / (np.max(np.abs(neg)) + 1e-6)
+        mixed, _, _, _ = mx.mix_two_noise(
+            jnp.asarray(c, jnp.float32),
+            jnp.asarray(np.resize(p, n).astype(np.float32)),
+            jnp.asarray(np.resize(ng, n).astype(np.float32)),
+            n, n, n, 0.0, 0.0)
+    else:
+        ng = neg / (np.max(np.abs(neg)) + 1e-6)
+        _, _, mixed, _ = mx.mix_one_noise(
+            jnp.asarray(c, jnp.float32),
+            jnp.asarray(np.resize(ng, n).astype(np.float32)),
+            n, n, 0.0)
+    return np.asarray(mixed, np.float64) * 32767.0
+
+
 def run(task: str) -> None:
     parser = argparse.ArgumentParser(
         prog=f"nhans_{task}",
@@ -93,30 +124,9 @@ def run(task: str) -> None:
         ctx_a, ctx_b = neg, pos
 
     def maybe_mix(clean: np.ndarray) -> np.ndarray:
-        """--demo: mix the clean input with the contexts at 0 dB first
-        (reference apply_demo, apply.py:129-135 uses SNRs[1] == 0)."""
         if not args.demo:
             return clean
-        import jax.numpy as jnp
-        from nhans_tpu.dsp import mixing as mx
-        c = clean / (np.max(np.abs(clean)) + 1e-6)
-        n = cfg.audio.trim_to_whole_frames(len(c))
-        c = c[:n]
-        if task == "denoiser":
-            p = pos / (np.max(np.abs(pos)) + 1e-6)
-            ng = neg / (np.max(np.abs(neg)) + 1e-6)
-            mixed, _, _, _ = mx.mix_two_noise(
-                jnp.asarray(c, jnp.float32),
-                jnp.asarray(np.resize(p, n).astype(np.float32)),
-                jnp.asarray(np.resize(ng, n).astype(np.float32)),
-                n, n, n, 0.0, 0.0)
-        else:
-            ng = neg / (np.max(np.abs(neg)) + 1e-6)
-            _, _, mixed = mx.mix_one_noise(
-                jnp.asarray(c, jnp.float32),
-                jnp.asarray(np.resize(ng, n).astype(np.float32)),
-                n, n, 0.0)
-        return np.asarray(mixed, np.float64)
+        return demo_mix(cfg, task, clean, pos, neg)
 
     # very long inputs go through the exact segmented path (fixed set of
     # compiled programs regardless of duration)

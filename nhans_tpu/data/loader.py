@@ -29,9 +29,14 @@ class _Stop(Exception):
 
 
 def _decode(path: str, max_samples: int) -> tuple:
+    """Returns (samples capped at max_samples, n, whole-file peak).  The
+    peak is scanned over the FULL decoded file so device normalization
+    matches the reference's whole-file max even when the buffer caps long
+    files (reference reader.py:186-189)."""
     x = np.asarray(wavio.read_wav_strict(path), np.float32)
+    peak = float(np.max(np.abs(x))) if len(x) else 0.0
     n = min(len(x), max_samples)
-    return x[:n], n
+    return x[:n], n, peak
 
 
 class TrainLoader:
@@ -82,17 +87,24 @@ class TrainLoader:
                           for _ in range(B)]
                 bpaths = ([self.noise[rng.integers(len(self.noise))]
                            for _ in range(B)] if self.two_noise else [])
+                # Peaks [B, 3] are the WHOLE-file maxima (scanned past the
+                # buffer cap), so device-side normalization matches the
+                # reference's whole-file peak (reference reader.py:186-189).
+                peaks = np.zeros((B, 3), np.float32)
                 if use_native:
                     # C++ RIFF decode + thread fan-out (native/)
                     paths = cpaths + apaths + bpaths
-                    buf, lens_all = native.load_batch(paths, L, fs,
-                                                      num_threads=2)
+                    buf, lens_all, pks = native.load_batch(paths, L, fs,
+                                                           num_threads=2)
                     clean, na = buf[:B], buf[B:2 * B]
                     nb = (buf[2 * B:] if self.two_noise
                           else np.zeros((B, L), np.float32))
                     lc, la = lens_all[:B], lens_all[B:2 * B]
                     lb = (lens_all[2 * B:] if self.two_noise
                           else np.zeros((B,), np.int32))
+                    peaks[:, 0], peaks[:, 1] = pks[:B], pks[B:2 * B]
+                    if self.two_noise:
+                        peaks[:, 2] = pks[2 * B:]
                 else:
                     clean = np.zeros((B, L), np.float32)
                     na = np.zeros((B, L), np.float32)
@@ -101,23 +113,16 @@ class TrainLoader:
                     la = np.zeros((B,), np.int32)
                     lb = np.zeros((B,), np.int32)
                     for b in range(B):
-                        x, n = _decode(cpaths[b], L)
+                        x, n, peaks[b, 0] = _decode(cpaths[b], L)
                         clean[b, :n] = x
                         lc[b] = n
-                        x, n = _decode(apaths[b], L)
+                        x, n, peaks[b, 1] = _decode(apaths[b], L)
                         na[b, :n] = x
                         la[b] = n
                         if self.two_noise:
-                            x, n = _decode(bpaths[b], L)
+                            x, n, peaks[b, 2] = _decode(bpaths[b], L)
                             nb[b, :n] = x
                             lb[b] = n
-                # Peak of each decoded signal BEFORE any trimming, so
-                # device-side normalization matches the reference's
-                # whole-file peak (reference reader.py:186-189).
-                peaks = np.stack([np.abs(clean).max(axis=1),
-                                  np.abs(na).max(axis=1),
-                                  np.abs(nb).max(axis=1)],
-                                 axis=1).astype(np.float32)  # [B, 3]
 
                 # Trim the batch to its clean-length bucket: noise beyond
                 # the clean length is never used (the reference truncates
@@ -206,12 +211,14 @@ class EvalLoader:
                 bpath = None
                 snr_a = snrs[snr_index_from_path(cpath, len(snrs), 8)]
                 snr_b = 0
-            clean, n_c = _decode(cpath, self.L)
-            na, n_a = _decode(apath, self.L)
-            nb, n_b = _decode(bpath, self.L) if bpath else (np.zeros(1, np.float32), 0)
+            clean, n_c, pk_c = _decode(cpath, self.L)
+            na, n_a, pk_a = _decode(apath, self.L)
+            nb, n_b, pk_b = (_decode(bpath, self.L) if bpath
+                             else (np.zeros(1, np.float32), 0, 0.0))
             yield {
                 "clean": clean, "noise_a": na, "noise_b": nb,
                 "clean_len": n_c, "len_a": n_a, "len_b": n_b,
+                "peaks": np.asarray([pk_c, pk_a, pk_b], np.float32),
                 "snr_a": snr_a, "snr_b": snr_b,
                 "cleanpath": cpath, "path_a": apath, "path_b": bpath or "",
             }

@@ -82,13 +82,18 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
         mixed, target, pos_s, neg_s = mx.mix_two_noise(
             clean, noise_a, noise_b, clean_len, len_a, len_b, snr_a, snr_b)
         ctx_src_a, ctx_src_b = pos_s, neg_s
+        ctx_len_a = ctx_len_b = clean_len
     else:
-        tgt, noise_scaled, mixed = mx.mix_one_noise(
+        tgt, noise_scaled, mixed, k = mx.mix_one_noise(
             clean, noise_a, clean_len, len_a, snr_a)
         target = tgt
-        # separator contexts: interference speaker, target speaker
+        # separator contexts: interference speaker at its FULL length
+        # (reference combine_signals returns noisesamples*K un-looped,
+        # Source_Separation/reader.py:140-146), target speaker
         # (reference Source_Separation/reader.py:344-357)
-        ctx_src_a, ctx_src_b = noise_scaled, tgt
+        ctx_src_a = k[..., None] * noise_a
+        ctx_src_b = tgt
+        ctx_len_a, ctx_len_b = len_a, clean_len
 
     # --- spectrograms (log-magnitude only; training never uses phase)
     lm_mixed, _ = sp.spectrogram(mixed, fl, fs, a.log_eps)
@@ -97,6 +102,22 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
     lm_ctx_b, _ = sp.spectrogram(ctx_src_b, fl, fs, a.log_eps)
     F = lm_mixed.shape[1]
     nf = _valid_frames(clean_len, fl, fs)                     # [B]
+    nf_ctx_a = _valid_frames(ctx_len_a, fl, fs)
+    nf_ctx_b = _valid_frames(ctx_len_b, fl, fs)
+
+    # --- zero frames beyond the valid region: the reference computes
+    # spectrograms of EXACT length and zero-pads for windowing
+    # (reader.py:352-356, pad_1D_for_windowing), while our static buffers
+    # hold log(eps) there from the zero-padded waveform tail.
+    far = jnp.arange(F, dtype=jnp.int32)[None, :, None]
+
+    def zero_tail(lm, n_valid):
+        return lm * (far < n_valid[:, None, None]).astype(lm.dtype)
+
+    lm_mixed = zero_tail(lm_mixed, nf)
+    lm_target = zero_tail(lm_target, nf)
+    lm_ctx_a = zero_tail(lm_ctx_a, nf_ctx_a)
+    lm_ctx_b = zero_tail(lm_ctx_b, nf_ctx_b)
 
     # --- pad the frame axis for windowing (reference reader.py:352-356)
     def pad(x):
@@ -114,15 +135,21 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
     widx = winstart[..., None] + jnp.arange(W)[None, None, :]  # [B,K,W]
     mixed_win = jnp.take_along_axis(
         lm_mixed_p[:, None], widx[..., None], axis=2)          # [B,K,W,nfeat]
-    # target = central frame of the window == original frame `winstart`
-    tidx = jnp.minimum(winstart, jnp.maximum(nf[:, None] - 1, 0))
+    # target = central frame of the PADDED window (reference
+    # synchronized_1D_crop takes cropped[W // 2]), mapped back to original
+    # coords: winstart + W//2 - pad_before.  For odd W this is exactly
+    # `winstart`; for even W the center is shifted by one.
+    center = winstart + (W // 2) - pad_before
+    tidx = jnp.clip(center, 0, jnp.maximum(nf[:, None] - 1, 0))
     target_c = jnp.take_along_axis(
         lm_target, tidx[..., None], axis=1)                    # [B,K,nfeat]
 
-    # contexts: C consecutive padded frames from the "rest" (window excised),
-    # rest length = nf + W - 1 - W = nf - 1
-    def ctx_crop(lm_p, kk):
-        rest_max = jnp.maximum(nf[:, None] - 1 - C, 0)         # [B,1]
+    # contexts: C consecutive padded frames from the "rest" (window excised
+    # at `winstart`), rest length = nf_src + W - 1 - W = nf_src - 1.  Each
+    # context source uses its OWN frame count (the separator's interference
+    # context is a full-length signal, possibly longer/shorter than clean).
+    def ctx_crop(lm_p, kk, nf_src):
+        rest_max = jnp.maximum(nf_src[:, None] - 1 - C, 0)     # [B,1]
         r = (jax.random.uniform(kk, (B, K)) *
              (rest_max + 1).astype(jnp.float32)).astype(jnp.int32)
         idx = r[..., None] + jnp.arange(C)[None, None, :]      # [B,K,C]
@@ -130,8 +157,8 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
         idx = jnp.minimum(idx, F + W - 2)                      # stay in buffer
         return jnp.take_along_axis(lm_p[:, None], idx[..., None], axis=2)
 
-    ctx_a = ctx_crop(lm_ctx_a_p, k_ctx_a)                      # [B,K,C,nfeat]
-    ctx_b = ctx_crop(lm_ctx_b_p, k_ctx_b)
+    ctx_a = ctx_crop(lm_ctx_a_p, k_ctx_a, nf_ctx_a)            # [B,K,C,nfeat]
+    ctx_b = ctx_crop(lm_ctx_b_p, k_ctx_b, nf_ctx_b)
 
     nfeat = m.num_features
     return {

@@ -97,21 +97,25 @@ def mix_two_noise(clean: jnp.ndarray, pos: jnp.ndarray, neg: jnp.ndarray,
 
 def mix_one_noise(clean: jnp.ndarray, noise: jnp.ndarray,
                   clean_len, noise_len, snr
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray]:
     """Separator mixing (reference N_HANS___Source_Separation/reader.py:92-150).
 
-    Returns (clean, noise*K, mixed/peak(mixed)).  Note the asymmetry kept
-    from the reference: only ``mixed`` is re-normalized by its own peak;
-    clean and the scaled noise keep their per-file normalization
-    (Source_Separation/reader.py:140-150).
-    """
+    Returns (clean, noise*K, mixed/peak(mixed), K).  Note the asymmetry
+    kept from the reference: only ``mixed`` is re-normalized by its own
+    peak; clean and the scaled noise keep their per-file normalization
+    (Source_Separation/reader.py:140-150).  ``K`` is returned so callers
+    can scale the FULL-length interference signal for context crops — the
+    reference's ``combine_signals`` returns ``noisesamples * K`` at its
+    original length, not the clean-length-looped version
+    (Source_Separation/reader.py:140-146)."""
     nse = loop_or_trim(noise, noise_len, clean_len)
     psig = _power(clean, clean_len)
     k = mixing_gains(psig, _power(nse, clean_len), snr)
     noise_scaled = k[..., None] * nse
     mixed = clean * _mask(clean, clean_len) + noise_scaled
     peak = jnp.max(jnp.abs(mixed), axis=-1, keepdims=True) + _EPS
-    return clean * _mask(clean, clean_len), noise_scaled, mixed / peak
+    return clean * _mask(clean, clean_len), noise_scaled, mixed / peak, k
 
 
 def snr_index_from_path(path, num_snrs: int, prefix_hex: int = 8) -> int:

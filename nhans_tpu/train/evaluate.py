@@ -55,21 +55,24 @@ class Evaluator:
         weights = freq_loss_weights(m.num_features)
 
         def program(variables, clean, na, nb, n_clean, n_a, n_b,
-                    snr_a, snr_b):
-            # --- deterministic mixing (md5 SNRs chosen host-side)
+                    snr_a, snr_b, peaks):
+            # --- deterministic mixing (md5 SNRs chosen host-side);
+            # peaks [B, 3] are whole-file maxima from the loader
             n_clean = n_clean - jnp.remainder(
                 jnp.maximum(n_clean - fl, 0), fs)
-            clean = mx.peak_normalize(clean, n_clean)
-            na_n = mx.peak_normalize(na, n_a)
+            clean = mx.peak_normalize(clean, n_clean, peaks[:, 0])
+            na_n = mx.peak_normalize(na, n_a, peaks[:, 1])
             if task.two_noise_mixing:
-                nb_n = mx.peak_normalize(nb, n_b)
+                nb_n = mx.peak_normalize(nb, n_b, peaks[:, 2])
                 mixed, target, pos_s, neg_s = mx.mix_two_noise(
                     clean, na_n, nb_n, n_clean, n_a, n_b, snr_a, snr_b)
                 ctx_a_sig, ctx_b_sig = pos_s, neg_s
             else:
-                target, noise_scaled, mixed = mx.mix_one_noise(
+                target, _noise_scaled, mixed, k = mx.mix_one_noise(
                     clean, na_n, n_clean, n_a, snr_a)
-                ctx_a_sig, ctx_b_sig = noise_scaled, target
+                # interference context = FULL-length noise * K (reference
+                # combine_signals, Source_Separation/reader.py:140-146)
+                ctx_a_sig, ctx_b_sig = k[..., None] * na_n, target
 
             lm_mixed, ph_mixed = sp.spectrogram(mixed, fl, fs, a.log_eps)
             lm_target, ph_target = sp.spectrogram(target, fl, fs, a.log_eps)
@@ -159,13 +162,16 @@ class Evaluator:
             for j, k in enumerate(("clean", "noise_a", "noise_b")):
                 x = ex[k][:L]
                 buf[j, 0, :len(x)] = x
+            peaks = np.asarray(
+                ex.get("peaks", [np.abs(buf[j, 0]).max() for j in range(3)]),
+                np.float32).reshape(1, 3)
             loss, ex_loss, valid, wavs, n_out = program(
                 variables, buf[0], buf[1], buf[2],
                 np.asarray([min(ex["clean_len"], L)], np.int32),
                 np.asarray([min(ex["len_a"], L)], np.int32),
                 np.asarray([min(ex["len_b"], L)], np.int32),
                 np.asarray([ex["snr_a"]], np.float32),
-                np.asarray([ex["snr_b"]], np.float32))
+                np.asarray([ex["snr_b"]], np.float32), peaks)
             nv = int(np.asarray(valid).sum())
             losses.append(float(loss) * nv)
             counts.append(nv)

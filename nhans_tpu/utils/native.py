@@ -46,12 +46,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.nhans_read_wav.restype = ctypes.c_int64
     lib.nhans_read_wav.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.c_int32]
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float)]
     lib.nhans_load_batch.restype = ctypes.c_int32
     lib.nhans_load_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int32]
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float)]
     _lib = lib
     return lib
 
@@ -61,38 +62,43 @@ def available() -> bool:
 
 
 def read_wav(path: str, max_samples: int,
-             expect_rate: int = 16000) -> Tuple[np.ndarray, int]:
-    """Decode one wav into a float32 array (int16 scale).  Raises on
-    error codes mirroring the strict reader's asserts."""
+             expect_rate: int = 16000) -> Tuple[np.ndarray, int, float]:
+    """Decode one wav into a float32 array (int16 scale).  Also returns
+    the WHOLE-file peak (scanned past the buffer cap).  Raises on error
+    codes mirroring the strict reader's asserts."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     out = np.zeros(max_samples, np.float32)
+    peak = ctypes.c_float(0.0)
     n = lib.nhans_read_wav(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        max_samples, expect_rate)
+        max_samples, expect_rate, ctypes.byref(peak))
     if n < 0:
         raise ValueError(f"{path}: native wav decode error {n}")
-    return out, int(n)
+    return out, int(n), float(peak.value)
 
 
 def load_batch(paths: List[str], max_samples: int,
                expect_rate: int = 16000,
-               num_threads: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+               num_threads: int = 8
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a batch of wavs into a zeroed [n, max_samples] buffer with
-    per-file lengths, using the native thread pool."""
+    per-file lengths and whole-file peaks, using the native thread pool."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     n = len(paths)
     out = np.zeros((n, max_samples), np.float32)
     lens = np.zeros(n, np.int64)
+    peaks = np.zeros(n, np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     failed = lib.nhans_load_batch(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         max_samples, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        expect_rate, num_threads)
+        expect_rate, num_threads,
+        peaks.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if failed:
         bad = [paths[i] for i in range(n) if lens[i] < 0]
         raise ValueError(f"native batch decode: {failed} failures: {bad[:3]}")
-    return out, lens.astype(np.int32)
+    return out, lens.astype(np.int32), peaks

@@ -61,3 +61,25 @@ def test_seeds_cli(tmp_path):
         capture_output=True, text=True, env=ENV, cwd=REPO, timeout=120)
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "sp" / "train.json").exists()
+
+
+def test_demo_mix_is_int16_scale(rng):
+    import numpy as np
+    """Regression: --demo fed the Enhancer a |x|<=1.0 signal which
+    prepare_wave's int16 rounding quantized to {-1,0,1} (~98% zeros).
+    The demo mix must come back at int16 scale."""
+    from nhans_tpu.cli._app import demo_mix
+    from nhans_tpu.config import Config
+
+    fs = 16000
+    clean = (rng.standard_normal(fs) * 8000.0)
+    noise = (rng.standard_normal(fs) * 8000.0)
+    for task, cfg in (("denoiser", Config.denoiser()),
+                      ("separator", Config.separator())):
+        mixed = demo_mix(cfg, task, clean, np.zeros(fs), noise)
+        q = np.rint(mixed).astype(np.int16)  # what prepare_wave does
+        assert np.max(np.abs(mixed)) > 1000.0
+        # quantization must preserve the signal, not destroy it
+        assert np.mean(q == 0) < 0.05
+        corr = np.corrcoef(q[:len(mixed)], mixed)[0, 1]
+        assert corr > 0.999

@@ -82,13 +82,16 @@ def test_mix_two_noise_batched(rng):
 def test_mix_one_noise_matches_reference(rng):
     clean = rng.standard_normal(2000).astype(np.float32)
     noise = rng.standard_normal(900).astype(np.float32)
-    c, n, m = M.mix_one_noise(jnp.asarray(_pad(clean)), jnp.asarray(_pad(noise)),
-                              2000, 900, 1)
+    c, n, m, k = M.mix_one_noise(jnp.asarray(_pad(clean)),
+                                 jnp.asarray(_pad(noise)), 2000, 900, 1)
     rc, rn, rm = R.domixing_one_ref(clean.astype(np.float64),
                                     noise.astype(np.float64), 1)
     np.testing.assert_allclose(np.asarray(m)[:2000], rm, atol=1e-4)
     np.testing.assert_allclose(np.asarray(n)[:2000], rn, atol=1e-4)
     np.testing.assert_allclose(np.asarray(c)[:2000], rc, atol=1e-6)
+    # K scales the raw (un-looped) noise to the looped version's values
+    np.testing.assert_allclose(np.asarray(k) * noise[:900],
+                               np.asarray(n)[:900], atol=1e-4)
 
 
 def test_zero_noise_gain_is_one():

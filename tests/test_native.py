@@ -25,9 +25,10 @@ def _write(tmp_path, name, data, fs=16000):
 def test_native_mono_matches_scipy(tmp_path, built, rng):
     x = (rng.standard_normal(12345) * 3000).astype(np.int16)
     p = _write(tmp_path, "m.wav", x)
-    got, n = native.read_wav(p, 20000)
+    got, n, peak = native.read_wav(p, 20000)
     ref = wavio.read_wav_strict(p)
     assert n == 12345
+    assert peak == np.abs(ref).max()
     np.testing.assert_array_equal(got[:n], ref.astype(np.float32))
     assert (got[n:] == 0).all()
 
@@ -35,7 +36,7 @@ def test_native_mono_matches_scipy(tmp_path, built, rng):
 def test_native_stereo_downmix(tmp_path, built, rng):
     x = (rng.standard_normal((4000, 2)) * 3000).astype(np.int16)
     p = _write(tmp_path, "s.wav", x)
-    got, n = native.read_wav(p, 20000)
+    got, n, _peak = native.read_wav(p, 20000)
     ref = wavio.read_wav_strict(p)  # mean-downmixed float
     assert n == 4000
     np.testing.assert_allclose(got[:n], ref.astype(np.float32), atol=1e-4)
@@ -44,9 +45,11 @@ def test_native_stereo_downmix(tmp_path, built, rng):
 def test_native_truncates(tmp_path, built, rng):
     x = (rng.standard_normal(9000) * 100).astype(np.int16)
     p = _write(tmp_path, "t.wav", x)
-    got, n = native.read_wav(p, 4000)
+    got, n, peak = native.read_wav(p, 4000)
     assert n == 4000
     np.testing.assert_array_equal(got, x[:4000].astype(np.float32))
+    # whole-file peak is scanned PAST the 4000-sample buffer cap
+    assert peak == float(np.abs(x).max())
 
 
 def test_native_rejects_wrong_rate(tmp_path, built, rng):
@@ -63,13 +66,14 @@ def test_native_batch(tmp_path, built, rng):
         x = (rng.standard_normal(3000 + 100 * i) * 2000).astype(np.int16)
         paths.append(_write(tmp_path, f"b{i}.wav", x))
         refs.append(x)
-    buf, lens = native.load_batch(paths, 4000, num_threads=3)
+    buf, lens, peaks = native.load_batch(paths, 4000, num_threads=3)
     assert buf.shape == (5, 4000)
     for i in range(5):
         assert lens[i] == 3000 + 100 * i
         np.testing.assert_array_equal(buf[i, :lens[i]],
                                       refs[i].astype(np.float32))
         assert (buf[i, lens[i]:] == 0).all()
+        assert peaks[i] == float(np.abs(refs[i]).max())
 
 
 def test_native_batch_error(tmp_path, built):

@@ -119,3 +119,74 @@ def test_separator_task_batch(rng):
     assert ex["mixed"].shape == (4, 35, 201)
     assert set(np.asarray(ex["snr_a"]).tolist()) <= set(
         float(s) for s in cfg.task.snr_set)
+
+def test_train_batch_tail_frames_are_zero(rng):
+    """Frames at/past nf must read as 0 (reference zero-pads the exact-nf
+    spectrogram, reader.py:352-356), not log(eps) from the padded buffer.
+    With a short utterance every window necessarily overlaps the tail; all
+    out-of-range frames it sees must be exactly zero."""
+    cfg = _cfg(k=8)
+    L = cfg.data.max_samples
+    b = _batch(rng, 1, L)
+    short = 4000  # ~23 valid frames << window 35
+    ex = make_train_batch(cfg, jax.random.PRNGKey(1), b["clean"],
+                          b["noise_a"], b["noise_b"],
+                          clean_len=jnp.asarray([short]),
+                          len_a=jnp.asarray([short]),
+                          len_b=jnp.asarray([short]))
+    a = cfg.audio
+    nf = 1 + (short - a.frame_length) // a.frame_step
+    win = np.asarray(ex["mixed"])           # [K, 35, 201]
+    # log(eps) would be ~ -11.5; padding/tail frames must be identically 0
+    log_eps = np.log(np.float32(a.log_eps))
+    assert not np.isclose(win, log_eps, atol=1e-3).any()
+    # each window of a (nf+34)-frame padded spectrogram with winstart<=nf-1
+    # contains at least 35-nf zero frames when nf < 35
+    if nf < 35:
+        zero_frames = (np.abs(win).sum(axis=-1) == 0).sum(axis=-1)
+        assert (zero_frames >= 35 - nf).all()
+    # contexts too
+    ctx = np.asarray(ex["ctx_a"])
+    assert not np.isclose(ctx, log_eps, atol=1e-3).any()
+
+
+def test_separator_context_uses_full_length_noise(rng):
+    """The separator's interference context comes from the FULL-length
+    scaled noise (reference combine_signals returns noisesamples*K
+    un-looped, Source_Separation/reader.py:140-146) — context material
+    past the clean length must be reachable."""
+    cfg = Config.separator().replace(data=dataclasses.replace(
+        Config.separator().data, max_samples=120000, slices_per_step=16))
+    L = cfg.data.max_samples
+    b = _batch(rng, 1, L)
+    clean_len = 36080  # ~2.25 s -> nf ~ 224 frames
+    # noise longer than clean: frames past nf(clean) only exist un-looped
+    ex = make_train_batch(cfg, jax.random.PRNGKey(2), b["clean"],
+                          b["noise_a"], b["noise_b"],
+                          clean_len=jnp.asarray([clean_len]),
+                          len_a=jnp.asarray([L]),
+                          len_b=jnp.asarray([0]))
+    from nhans_tpu.dsp import mixing as mx
+    a = cfg.audio
+    clean = mx.peak_normalize(b["clean"], jnp.asarray([clean_len]))
+    na = mx.peak_normalize(b["noise_a"], jnp.asarray([L]))
+    # reproduce the mixing gain for this snr draw
+    snr = jnp.asarray([float(ex["snr_a"][0])])
+    _, _, _, k = mx.mix_one_noise(clean, na, jnp.asarray([clean_len]),
+                                  jnp.asarray([L]), snr)
+    lm_full, _ = sp.spectrogram(float(k[0]) * na,
+                                a.frame_length, a.frame_step)
+    lm_full = np.asarray(lm_full[0])
+    nf_clean = 1 + (clean_len - a.frame_length) // a.frame_step
+    ctx = np.asarray(ex["ctx_a"]).reshape(-1, 200, 201)
+    # at least one crop must contain a frame from past the clean region —
+    # impossible if contexts were cut from the clean-length-looped noise
+    hit_late = False
+    for c in ctx:
+        # match first context frame against full-noise frames
+        d = np.abs(lm_full[None, :, :] - c[0][None, None, :]).sum(-1)
+        starts = np.where(d[0] < 1e-3)[0]
+        if len(starts) and (starts + 200).max() > nf_clean:
+            hit_late = True
+            break
+    assert hit_late
