@@ -26,6 +26,9 @@ class AudioConfig:
     frame_ms: float = 25.0
     hop_ms: float = 10.0
     log_eps: float = 1e-5  # log(mag + 1e-5), reference reader.py:349
+    # STFT implementation: "auto" = fused Pallas kernel on TPU, XLA
+    # matmul-DFT elsewhere; "pallas" / "xla" force one.
+    stft_impl: str = "auto"
 
     @property
     def frame_length(self) -> int:

@@ -39,7 +39,8 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
                      clean_len: jnp.ndarray, len_a: jnp.ndarray,
                      len_b: jnp.ndarray,
                      slices: Optional[int] = None,
-                     peaks: Optional[jnp.ndarray] = None
+                     peaks: Optional[jnp.ndarray] = None,
+                     stft_impl: Optional[str] = None
                      ) -> Dict[str, jnp.ndarray]:
     """Build a training minibatch from raw waveform buffers.
 
@@ -95,11 +96,14 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
         ctx_src_b = tgt
         ctx_len_a, ctx_len_b = len_a, clean_len
 
-    # --- spectrograms (log-magnitude only; training never uses phase)
-    lm_mixed, _ = sp.spectrogram(mixed, fl, fs, a.log_eps)
-    lm_target, _ = sp.spectrogram(target, fl, fs, a.log_eps)
-    lm_ctx_a, _ = sp.spectrogram(ctx_src_a, fl, fs, a.log_eps)
-    lm_ctx_b, _ = sp.spectrogram(ctx_src_b, fl, fs, a.log_eps)
+    # --- spectrograms (log-magnitude only; training never uses phase —
+    # the Pallas path never computes it)
+    impl = sp.resolve_stft_impl(stft_impl if stft_impl is not None
+                                else a.stft_impl)
+    lm_mixed = sp.log_spectrogram(mixed, fl, fs, a.log_eps, impl=impl)
+    lm_target = sp.log_spectrogram(target, fl, fs, a.log_eps, impl=impl)
+    lm_ctx_a = sp.log_spectrogram(ctx_src_a, fl, fs, a.log_eps, impl=impl)
+    lm_ctx_b = sp.log_spectrogram(ctx_src_b, fl, fs, a.log_eps, impl=impl)
     F = lm_mixed.shape[1]
     nf = _valid_frames(clean_len, fl, fs)                     # [B]
     nf_ctx_a = _valid_frames(ctx_len_a, fl, fs)

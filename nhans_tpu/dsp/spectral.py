@@ -143,15 +143,71 @@ def stft_magphase(x: jnp.ndarray, frame_length: int = 400,
     return mag, phase
 
 
+def resolve_stft_impl(impl: str = "auto") -> str:
+    """Resolve "auto" to the fused Pallas kernel on TPU, XLA elsewhere
+    (AudioConfig.stft_impl)."""
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
+def _pallas_ok(x: jnp.ndarray, frame_length: int, frame_step: int) -> bool:
+    """The fused kernel assumes <=2-D input and frame_length <= 3 hops
+    (holds for the 25 ms / 10 ms contract)."""
+    return x.ndim <= 2 and frame_length <= 3 * frame_step
+
+
 def spectrogram(x: jnp.ndarray, frame_length: int = 400,
                 frame_step: int = 160, eps: float = 1e-5,
-                method: str = "matmul") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                method: str = "matmul", impl: str = "xla"
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(log_magnitude, phase) — the model's input representation
-    (reference reader.py:334-350)."""
+    (reference reader.py:334-350).
+
+    ``impl`` selects the backend: "xla" (gather + matmul-DFT, default),
+    "pallas" (fused TPU kernel, nhans_tpu.ops.stft_pallas), or "auto".
+    """
+    lm, re, im = spectrogram_reim(x, frame_length, frame_step, eps,
+                                  method, impl)
+    return lm, jnp.arctan2(im, re)
+
+
+def spectrogram_reim(x: jnp.ndarray, frame_length: int = 400,
+                     frame_step: int = 160, eps: float = 1e-5,
+                     method: str = "matmul", impl: str = "xla"
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(log_magnitude, re, im).  Mixed-phase reconstruction only ever needs
+    cos/sin of the phase, which are re/|X| and im/|X| — keeping re/im avoids
+    arctan2 (no Mosaic lowering) AND the cos/sin round-trip."""
+    if resolve_stft_impl(impl) == "pallas" and _pallas_ok(
+            x, frame_length, frame_step):
+        from nhans_tpu.ops.stft_pallas import pallas_log_spectrogram
+        x2 = x[None] if x.ndim == 1 else x
+        lm, re, im = pallas_log_spectrogram(
+            x2.astype(jnp.float32), frame_length, frame_step, eps,
+            with_reim=True)
+        return (lm[0], re[0], im[0]) if x.ndim == 1 else (lm, re, im)
     re, im = stft(x, frame_length, frame_step, method)
     logmag = jnp.log(jnp.sqrt(re * re + im * im) + eps)
-    phase = jnp.arctan2(im, re)
-    return logmag, phase
+    return logmag, re, im
+
+
+def log_spectrogram(x: jnp.ndarray, frame_length: int = 400,
+                    frame_step: int = 160, eps: float = 1e-5,
+                    method: str = "matmul", impl: str = "xla"
+                    ) -> jnp.ndarray:
+    """Log-magnitude only (no phase) — what the training pipeline and the
+    context encoders consume.  On the Pallas path this skips the arctan2
+    entirely."""
+    if resolve_stft_impl(impl) == "pallas" and _pallas_ok(
+            x, frame_length, frame_step):
+        from nhans_tpu.ops.stft_pallas import pallas_log_spectrogram
+        x2 = x[None] if x.ndim == 1 else x
+        lm = pallas_log_spectrogram(
+            x2.astype(jnp.float32), frame_length, frame_step, eps)
+        return lm[0] if x.ndim == 1 else lm
+    re, im = stft(x, frame_length, frame_step, method)
+    return jnp.log(jnp.sqrt(re * re + im * im) + eps)
 
 
 def overlap_add(frames: jnp.ndarray, frame_step: int = 160) -> jnp.ndarray:

@@ -36,19 +36,32 @@ def context_samples(cfg: Config) -> int:
     return (cfg.model.context_frames - 1) * a.frame_step + a.frame_length
 
 
-DEFAULT_BUCKETS_SECONDS = (1, 2, 4, 8, 16, 32, 64, 128)
+# Finer steps than powers of two: window compute scales with the bucket
+# length, so a 10 s utterance on a 16 s bucket would waste 60% of the
+# tower FLOPs.  ~1.2x geometric spacing caps waste at ~20%; programs are
+# compiled per (bucket, batch) and cached (incl. the persistent XLA cache).
+DEFAULT_BUCKETS_SECONDS = (1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32,
+                           40, 48, 64, 80, 96, 128)
 
 
 class Enhancer:
-    """Callable enhancement engine for a task (denoiser or separator)."""
+    """Callable enhancement engine for a task (denoiser or separator).
+
+    ``out_wire``: dtype of the device->host waveform transfer.  "int16"
+    (default) sends per-wav-scaled int16 — exactly the fidelity of the
+    16-bit PCM the toolkit operates on, at half the bytes of float32 (the
+    wire is the bottleneck on remote-attached TPUs); "float32" is exact.
+    """
 
     def __init__(self, cfg: Config, variables, window_chunk: int = 256,
-                 buckets_seconds=DEFAULT_BUCKETS_SECONDS):
+                 buckets_seconds=DEFAULT_BUCKETS_SECONDS,
+                 out_wire: str = "int16"):
         self.cfg = cfg
         self.model = NHANSNet(cfg.model)
         self.variables = variables
         self.window_chunk = int(window_chunk)
         self.buckets = [int(s * cfg.audio.sample_rate) for s in buckets_seconds]
+        self.out_wire = out_wire
         self._programs = {}
 
     # ------------------------------------------------------------------ #
@@ -59,6 +72,7 @@ class Enhancer:
         cfg = self.cfg
         a, m = cfg.audio, cfg.model
         fl, fs = a.frame_length, a.frame_step
+        impl = sp.resolve_stft_impl(a.stft_impl)
         F = sp.num_frames(num_samples, fl, fs)
         WC = self.window_chunk
         W = m.window_frames
@@ -79,15 +93,17 @@ class Enhancer:
             mixed = mixed.astype(jnp.float32) / (peaks[:, 0:1] + 1e-6)
             pos = pos.astype(jnp.float32) / (peaks[:, 1:2] + 1e-6)
             neg = neg.astype(jnp.float32) / (peaks[:, 2:3] + 1e-6)
-            logmag, phase = sp.spectrogram(mixed, fl, fs, a.log_eps)
+            logmag, s_re, s_im = sp.spectrogram_reim(mixed, fl, fs,
+                                                     a.log_eps, impl=impl)
             nf = 1 + jnp.maximum(n_mixed - fl, 0) // fs          # [B]
             far = jnp.arange(F)[None, :]
             fmask = ((far < jnp.minimum(nf, keep_until)[:, None])
                      & (far >= keep_from[:, None]))               # [B, F]
 
             # ---- contexts: first 200 frames, cyclically tiled if short
-            pos_lm, _ = sp.spectrogram(pos, fl, fs, a.log_eps)    # [B, Fc, 201]
-            neg_lm, _ = sp.spectrogram(neg, fl, fs, a.log_eps)
+            # (log-mag only: the Pallas path skips phase entirely)
+            pos_lm = sp.log_spectrogram(pos, fl, fs, a.log_eps, impl=impl)
+            neg_lm = sp.log_spectrogram(neg, fl, fs, a.log_eps, impl=impl)
             nf_pos = jnp.maximum(1 + jnp.maximum(n_pos - fl, 0) // fs, 1)
             nf_neg = jnp.maximum(1 + jnp.maximum(n_neg - fl, 0) // fs, 1)
             ar = jnp.arange(Fc, dtype=jnp.int32)[None, :]
@@ -131,9 +147,13 @@ class Enhancer:
 
             denoised_lm = logmag + residuals                      # central frame + res
 
-            # ---- masked reconstruction with the mixed phase
+            # ---- masked reconstruction with the mixed phase: cos/sin of
+            # the phase are re/|X|, im/|X| directly (no arctan2/cos/sin)
             mask = fmask[..., None].astype(logmag.dtype)
-            cosp, sinp = jnp.cos(phase), jnp.sin(phase)
+            smag = jnp.sqrt(s_re * s_re + s_im * s_im)
+            inv = 1.0 / jnp.maximum(smag, 1e-30)
+            cosp = jnp.where(smag > 0, s_re * inv, 1.0)
+            sinp = jnp.where(smag > 0, s_im * inv, 0.0)
 
             def recon(lm):
                 mag = jnp.exp(lm) * mask
@@ -149,10 +169,23 @@ class Enhancer:
             d2 = jnp.sum(jnp.square(denoised_wav) * smask, axis=-1)
             r2 = jnp.sum(jnp.square(removed_wav) * smask, axis=-1)
             snr_est = d2 / jnp.maximum(r2, 1e-12)                 # apply.py:463
+            den = denoised_wav * smask
+            mixo = mixed_wav * smask
             # `removed` itself is NOT returned: the host derives it as
             # mixed_processed - denoised, saving a third of the
             # device->host transfer.
-            return (denoised_wav * smask, mixed_wav * smask, snr_est, n_out)
+            if self.out_wire == "int16":
+                # per-wav scale to int16 on device: the D2H wire is the
+                # bottleneck on remote-attached chips, and int16 is the
+                # native fidelity of the 16-bit PCM contract
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(den), axis=-1),
+                    jnp.max(jnp.abs(mixo), axis=-1))              # [B]
+                scale = 32766.0 / jnp.maximum(amax, 1e-9)
+                q = lambda x: jnp.rint(x * scale[:, None]).astype(jnp.int16)
+                return (q(den), q(mixo), scale, snr_est, n_out)
+            ones = jnp.ones((B,), den.dtype)
+            return (den, mixo, ones, snr_est, n_out)
 
         return jax.jit(program)
 
@@ -224,9 +257,13 @@ class Enhancer:
 
     @staticmethod
     def _materialize(outs, nreal) -> Dict[str, list]:
-        den, mix, snr, n_out = outs
+        den, mix, scale, snr, n_out = outs
         den, mix = np.asarray(den), np.asarray(mix)
         n_out = np.asarray(n_out)
+        if den.dtype == np.int16:  # undo the wire quantization scale
+            inv = (1.0 / np.asarray(scale)).astype(np.float32)
+            den = den.astype(np.float32) * inv[:, None]
+            mix = mix.astype(np.float32) * inv[:, None]
         return {
             "denoised": [den[i, :n_out[i]] for i in range(nreal)],
             "mixed_processed": [mix[i, :n_out[i]] for i in range(nreal)],
@@ -308,7 +345,7 @@ class Enhancer:
                 keep_until[j] = h_l + (c1 - c0)
                 offsets[j] = s0
             # padded rows keep nothing (keep_until == keep_from == 0)
-            den, mix, _snr, _n_out = program(
+            den, mix, scale, _snr, _n_out = program(
                 self.variables, jnp.asarray(seg),
                 jnp.asarray(np.tile(pos_b, (B, 1))),
                 jnp.asarray(np.tile(neg_b, (B, 1))),
@@ -318,6 +355,10 @@ class Enhancer:
                 jnp.asarray(peaks),
                 jnp.asarray(keep_from), jnp.asarray(keep_until))
             den, mix = np.asarray(den), np.asarray(mix)
+            if den.dtype == np.int16:
+                inv = (1.0 / np.asarray(scale)).astype(np.float32)
+                den = den.astype(np.float32) * inv[:, None]
+                mix = mix.astype(np.float32) * inv[:, None]
             for j in range(len(group)):
                 o = offsets[j]
                 span = min(den.shape[1], out_len - o)

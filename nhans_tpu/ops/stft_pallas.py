@@ -4,13 +4,17 @@ One kernel per (batch row, frame tile): DMA the needed hop-major waveform
 span from HBM into VMEM and evaluate the windowed rDFT as three shifted
 MXU matmuls against zero-padded [256, 402] cos|sin basis blocks (frame m =
 hop m | hop m+1 | head of hop m+2, since 400 = 2*160 + 80), fusing
-magnitude+log on the VPU.  The framed signal never materializes in HBM and
-no lane-misaligned slice/concat is needed in-kernel.  ~2x faster than the
-XLA gather+matmul path on v5e (0.9 ms vs 1.8 ms for 4 x 10 s wavs).
+magnitude+log (and optionally phase) on the VPU.  The framed signal never
+materializes in HBM and no lane-misaligned slice/concat is needed
+in-kernel.
 
 This is the TPU-native replacement for the reference's delegated
 ``tf.signal.stft`` C++ kernel (reference reader.py:334-337); the pure-XLA
-fallback lives in nhans_tpu.dsp.spectral.
+fallback lives in nhans_tpu.dsp.spectral, and
+``dsp.spectral.spectrogram(..., impl=...)`` dispatches between the two
+(config: ``AudioConfig.stft_impl``).  Parity + speed on real TPU hardware
+are covered by tests/test_pallas_ops.py::test_pallas_real_tpu_parity and
+``bench.py --stft_impl``.
 """
 
 from __future__ import annotations
@@ -27,12 +31,18 @@ from nhans_tpu.dsp.spectral import _dft_bases_np, num_frames
 
 
 @functools.partial(jax.jit, static_argnames=("frame_length", "frame_step",
-                                             "eps", "tile", "interpret"))
+                                             "eps", "tile", "interpret",
+                                             "with_reim"))
 def pallas_log_spectrogram(x: jnp.ndarray, frame_length: int = 400,
                            frame_step: int = 160, eps: float = 1e-5,
                            tile: int = 256,
-                           interpret: bool = False) -> jnp.ndarray:
-    """[B, L] float32 -> [B, F, bins] log-magnitude, F = num_frames(L).
+                           interpret: bool = False,
+                           with_reim: bool = False):
+    """[B, L] float32 -> [B, F, bins] log-magnitude, F = num_frames(L);
+    with ``with_reim`` also returns the raw [B, F, bins] (re, im) STFT so
+    callers can derive phase (or, better, cos/sin of it as re/|X|, im/|X|
+    — Mosaic has no atan2 lowering, and the reconstruction only ever needs
+    cos/sin) without a second pass over the waveform.
 
     Requires frame_length == 2*frame_step + frame_step//2 style geometry?
     No — only frame_length <= 3*frame_step is assumed (400 <= 480), which
@@ -43,7 +53,8 @@ def pallas_log_spectrogram(x: jnp.ndarray, frame_length: int = 400,
     bins = frame_length // 2 + 1
     F = num_frames(L, frame_length, frame_step)
     if F == 0:
-        return jnp.zeros((B, 0, bins), x.dtype)
+        z = jnp.zeros((B, 0, bins), x.dtype)
+        return (z, z, z) if with_reim else z
     nt = -(-F // tile)
     Fpad = nt * tile
     # span per tile: (tile + 2) hops of frame_step covers
@@ -72,7 +83,9 @@ def pallas_log_spectrogram(x: jnp.ndarray, frame_length: int = 400,
     blocks[2, :rem] = full[2 * frame_step:]
     basis = jnp.asarray(blocks)
 
-    def kernel(x_ref, basis_ref, out_ref, span_ref, sem):
+    def kernel(x_ref, basis_ref, *out_refs):
+        out_ref = out_refs[0]
+        span_ref, sem = out_refs[-2], out_refs[-1]
         b = pl.program_id(0)
         t = pl.program_id(1)
         start = b * need_hops + t * tile
@@ -98,7 +111,13 @@ def pallas_log_spectrogram(x: jnp.ndarray, frame_length: int = 400,
         re = prod[:, :bins]
         im = prod[:, bins:]
         out_ref[0] = jnp.log(jnp.sqrt(re * re + im * im) + eps)
+        if with_reim:
+            out_refs[1][0] = re
+            out_refs[2][0] = im
 
+    spec = pl.BlockSpec((1, tile, bins), lambda b, t: (b, t, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, Fpad, bins), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(B, nt),
@@ -108,13 +127,14 @@ def pallas_log_spectrogram(x: jnp.ndarray, frame_length: int = 400,
                          lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),  # DFT basis resident
         ],
-        out_specs=pl.BlockSpec((1, tile, bins), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Fpad, bins), jnp.float32),
+        out_specs=(spec, spec, spec) if with_reim else spec,
+        out_shape=(shape, shape, shape) if with_reim else shape,
         scratch_shapes=[
             pltpu.VMEM((span_hops, lane), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xpad, basis)
+    if with_reim:
+        return out[0][:, :F], out[1][:, :F], out[2][:, :F]
     return out[:, :F]

@@ -61,13 +61,22 @@ def make_train_step(cfg: Config, model: NHANSNet, tx,
     holds clean/noise_a/noise_b [B, L] waveform buffers + lengths.
     """
     W = cfg.model.window_frames
+    # The fused Pallas spectrogram is used on single-device programs; under
+    # a >1-device mesh the batch axis is pjit-partitioned and pallas_call
+    # has no SPMD partitioning rule, so resolve to the XLA formulation
+    # there (identical numerics, tests/test_pallas_ops.py).
+    from nhans_tpu.dsp.spectral import resolve_stft_impl
+    stft_impl = resolve_stft_impl(cfg.audio.stft_impl)
+    if mesh is not None and mesh.size > 1:
+        stft_impl = "xla"
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
                 key: jax.Array):
         ex = make_train_batch(cfg, key, batch["clean"], batch["noise_a"],
                               batch["noise_b"], batch["clean_len"],
                               batch["len_a"], batch["len_b"],
-                              peaks=batch.get("peaks"))
+                              peaks=batch.get("peaks"),
+                              stft_impl=stft_impl)
 
         def loss_fn(params):
             res, mut = model.apply(

@@ -14,13 +14,19 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, iters=10):
+def _sync(out):
+    # block_until_ready under-synchronizes through the axon remote tunnel;
+    # a host read of one element is the only reliable fence.
     import jax
-    jax.block_until_ready(fn(*args))
+    return float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+
+
+def timeit(fn, *args, iters=10):
+    _sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
