@@ -16,9 +16,81 @@ import time
 import numpy as np
 
 
+def bench_train(args) -> None:
+    """Training-throughput benchmark: the full jitted step (on-device
+    mixing/STFT/crops + fwd + bwd + optimizer + BN update) on the chip.
+    Reports steps/sec, windows/sec (reference minibatch = 64 windows,
+    reference main.py:71) and an MFU estimate from XLA's cost analysis.
+    Matches the reference's monitor timing (reference main.py:582-585)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from nhans_tpu.config import Config
+    from nhans_tpu.train.step import create_state, make_train_step
+
+    cfg = Config.denoiser()
+    import dataclasses
+    if args.dtype != "float32":
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, compute_dtype=args.dtype))
+    # 64 windows per step = 16 utterances x 4 crops (reference mb=64)
+    B = args.train_utts
+    L = cfg.data.max_samples
+    model, state, tx = create_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, tx, donate=False)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "clean": (rng.standard_normal((B, L)) * 3000).astype(np.int16),
+        "noise_a": (rng.standard_normal((B, L)) * 3000).astype(np.int16),
+        "noise_b": (rng.standard_normal((B, L)) * 3000).astype(np.int16),
+        "clean_len": np.full((B,), L, np.int32),
+        "len_a": np.full((B,), L, np.int32),
+        "len_b": np.full((B,), L, np.int32),
+        "peaks": np.full((B, 3), 9000.0, np.float32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    key = jax.random.PRNGKey(1)
+
+    lowered = jax.jit(lambda s, b, k: step(s, b, k)).lower(state, batch, key)
+    compiled = lowered.compile()
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = 0.0
+
+    state, metrics = step(state, batch, key)
+    _ = float(np.asarray(metrics["loss"]))  # sync (host readback)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, batch, key)
+    _ = float(np.asarray(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / args.iters
+
+    windows = B * cfg.data.slices_per_step
+    peak = 197e12 if args.dtype == "bfloat16" else 98.5e12  # v5e
+    print(json.dumps({
+        "metric": "train_windows_per_sec_per_chip",
+        "value": round(windows / dt, 1),
+        "unit": "windows/s",
+        "vs_baseline": round((windows / dt) / 64.0, 3),  # ref mb / s = 1
+        "steps_per_sec": round(1.0 / dt, 3),
+        "step_ms": round(dt * 1e3, 2),
+        "flops_per_step": flops,
+        "mfu_est": round(flops / dt / peak, 4) if flops else None,
+        "dtype": args.dtype,
+        "windows_per_step": windows,
+    }))
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="infer", choices=("infer", "train"))
     p.add_argument("--batch", type=int, default=16, help="utterances per call")
+    p.add_argument("--train_utts", type=int, default=16,
+                   help="utterances per train step (x slices_per_step=4 "
+                        "crops = 64 windows, the reference minibatch)")
     p.add_argument("--seconds", type=float, default=10.0,
                    help="utterance length (s)")
     p.add_argument("--iters", type=int, default=5)
@@ -30,6 +102,10 @@ def main() -> None:
     p.add_argument("--dtype", default="float32",
                    choices=("float32", "bfloat16"))
     args = p.parse_args()
+
+    if args.mode == "train":
+        bench_train(args)
+        return
 
     import dataclasses
     import jax

@@ -132,6 +132,78 @@ int64_t decode_one(const char* path, float* out, int64_t max_samples,
   return frames;
 }
 
+// int16 variant: decodes straight into an int16 buffer (the wire format
+// of the TPU input pipeline), skipping the float32 intermediate and the
+// GIL-bound numpy rint conversion entirely.  Mono files stream directly
+// from disk into the output buffer; multi-channel is mean-downmixed with
+// rounding.  `peak` receives the whole-file max |downmixed sample|.
+int64_t decode_one_i16(const char* path, int16_t* out, int64_t max_samples,
+                       int32_t expect_rate, float* peak) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo info;
+  if (!parse_header(f, &info)) {
+    fclose(f);
+    return -2;
+  }
+  if (info.bits != 16 || (info.format != 1 && info.format != 0xFFFE) ||
+      info.channels == 0) {
+    fclose(f);
+    return -3;
+  }
+  if (expect_rate > 0 && (int32_t)info.sample_rate != expect_rate) {
+    fclose(f);
+    return -4;
+  }
+  const int ch = info.channels;
+  const int64_t total_frames = info.data_bytes / (2 * ch);
+  int64_t frames = total_frames;
+  if (frames > max_samples) frames = max_samples;
+  float pk = 0.f;
+  if (ch == 1) {
+    size_t got = fread(out, 2, frames, f);
+    frames = static_cast<int64_t>(got);
+    for (int64_t i = 0; i < frames; ++i) {
+      const float a = out[i] < 0 ? -(float)out[i] : (float)out[i];
+      if (a > pk) pk = a;
+    }
+  } else {
+    std::vector<int16_t> buf(static_cast<size_t>(frames) * ch);
+    size_t got = fread(buf.data(), 2 * ch, frames, f);
+    frames = static_cast<int64_t>(got);
+    const float inv = 1.0f / ch;
+    for (int64_t i = 0; i < frames; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < ch; ++c) acc += (float)buf[i * ch + c];
+      const float v = acc * inv;
+      out[i] = (int16_t)(v < 0 ? v - 0.5f : v + 0.5f);  // round half away
+      const float a = v < 0 ? -v : v;
+      if (a > pk) pk = a;
+    }
+  }
+  if (peak && frames == max_samples && total_frames > frames) {
+    const float inv = 1.0f / ch;
+    std::vector<int16_t> tail(4096 * ch);
+    int64_t left = total_frames - frames;
+    while (left > 0) {
+      int64_t want = left < 4096 ? left : 4096;
+      size_t n = fread(tail.data(), 2 * ch, want, f);
+      if (n == 0) break;
+      for (size_t i = 0; i < n; ++i) {
+        float acc = 0.f;
+        for (int c = 0; c < ch; ++c) acc += (float)tail[i * ch + c];
+        float v = ch == 1 ? (float)tail[i] : acc * inv;
+        if (v < 0) v = -v;
+        if (v > pk) pk = v;
+      }
+      left -= static_cast<int64_t>(n);
+    }
+  }
+  fclose(f);
+  if (peak) *peak = pk;
+  return frames;
+}
+
 }  // namespace
 
 extern "C" {
@@ -161,6 +233,33 @@ int32_t nhans_load_batch(const char** paths, int32_t n, float* out,
       int64_t r = decode_one(paths[i], out + (int64_t)i * max_samples,
                              max_samples, expect_rate,
                              peaks ? peaks + i : nullptr);
+      lens[i] = r;
+      if (r < 0) failed.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int32_t t = 1; t < num_threads; ++t) pool.emplace_back(work);
+  work();
+  for (auto& t : pool) t.join();
+  return failed.load();
+}
+
+// int16 batch decode: out[n * max_samples] int16 (zero-padded by caller),
+// whole-file peaks in peaks[n].  Same error protocol as nhans_load_batch.
+int32_t nhans_load_batch_i16(const char** paths, int32_t n, int16_t* out,
+                             int64_t max_samples, int64_t* lens,
+                             int32_t expect_rate, int32_t num_threads,
+                             float* peaks) {
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n > 0 ? n : 1;
+  std::atomic<int32_t> next(0), failed(0);
+  auto work = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      int64_t r = decode_one_i16(paths[i], out + (int64_t)i * max_samples,
+                                 max_samples, expect_rate,
+                                 peaks ? peaks + i : nullptr);
       lens[i] = r;
       if (r < 0) failed.fetch_add(1);
     }

@@ -28,7 +28,7 @@ def _sidecar(path: str, tag: str) -> str:
     return f"{base}_{tag}{ext or '.wav'}"
 
 
-def load_enhancer(cfg: Config, checkpoint: str, window_chunk: int = 256):
+def load_enhancer(cfg: Config, checkpoint: str, window_chunk: int = 2048):
     import jax
     from nhans_tpu.infer.enhance import Enhancer
     from nhans_tpu.models import init_variables

@@ -19,6 +19,14 @@ def main() -> None:
                    default="denoiser")
     p.add_argument("--data_axis", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--multihost", action="store_true", default=False,
+                   help="join the jax.distributed cluster before backend "
+                        "init (TPU pods auto-detect; see --coordinator)")
+    p.add_argument("--coordinator", default="",
+                   help="coordinator address for --multihost on non-pod "
+                        "clusters (host:port)")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     p.add_argument("--eval_utts", type=int, default=16,
                    help="utterances per evaluation pass")
     p.add_argument("--profile_dir", default="",
@@ -37,6 +45,13 @@ def main() -> None:
                         "background thread instead of blocking training")
     add_reference_flags(p, inference=False)
     args = p.parse_args()
+
+    if args.multihost:
+        from nhans_tpu.parallel.mesh import initialize_multihost
+        initialize_multihost(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None)
 
     cfg = config_from_args(args, task=args.task)
     import dataclasses

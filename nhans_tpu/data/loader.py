@@ -55,9 +55,14 @@ class TrainLoader:
         self.batch = batch_utts
         self.L = cfg.data.max_samples
         self.two_noise = cfg.task.two_noise_mixing
-        self.speech = load_seeds(cfg.data.speech_wav_dir, split)
+        # per-host manifest shard: host i of n reads items[i::n]
+        # (multi-host data parallelism; parallel/mesh.py)
+        from nhans_tpu.parallel.mesh import process_shard
+        self.speech = process_shard(load_seeds(cfg.data.speech_wav_dir,
+                                               split))
         if self.two_noise:
-            self.noise = load_seeds(cfg.data.noise_wav_dir, split)
+            self.noise = process_shard(load_seeds(cfg.data.noise_wav_dir,
+                                                  split))
         else:
             self.noise = self.speech
         if not self.speech or not self.noise:
@@ -91,14 +96,19 @@ class TrainLoader:
                 # buffer cap), so device-side normalization matches the
                 # reference's whole-file peak (reference reader.py:186-189).
                 peaks = np.zeros((B, 3), np.float32)
+                want_i16 = self.cfg.data.transfer_dtype == "int16"
                 if use_native:
-                    # C++ RIFF decode + thread fan-out (native/)
+                    # C++ RIFF decode + thread fan-out (native/); int16
+                    # wire format decodes straight into the output buffer
+                    # (no float32 intermediate / GIL-bound conversion)
                     paths = cpaths + apaths + bpaths
-                    buf, lens_all, pks = native.load_batch(paths, L, fs,
-                                                           num_threads=2)
+                    load = (native.load_batch_i16 if want_i16
+                            else native.load_batch)
+                    wire = np.int16 if want_i16 else np.float32
+                    buf, lens_all, pks = load(paths, L, fs, num_threads=2)
                     clean, na = buf[:B], buf[B:2 * B]
                     nb = (buf[2 * B:] if self.two_noise
-                          else np.zeros((B, L), np.float32))
+                          else np.zeros((B, L), wire))
                     lc, la = lens_all[:B], lens_all[B:2 * B]
                     lb = (lens_all[2 * B:] if self.two_noise
                           else np.zeros((B,), np.int32))
@@ -141,7 +151,7 @@ class TrainLoader:
                     nb = np.ascontiguousarray(nb[:, :bucket])
                     la = np.minimum(la, bucket)
                     lb = np.minimum(lb, bucket)
-                if self.cfg.data.transfer_dtype == "int16":
+                if want_i16 and clean.dtype != np.int16:
                     clean = np.rint(clean).astype(np.int16)
                     na = np.rint(na).astype(np.int16)
                     nb = np.rint(nb).astype(np.int16)
@@ -233,6 +243,12 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
 
     def put(batch):
         if sharding is not None:
+            if jax.process_count() > 1:
+                # multi-host: this process contributes its local slice of
+                # the global batch (parallel/mesh.py shard_batch semantics)
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding, np.asarray(x)), batch)
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, sharding), batch)
         return jax.tree_util.tree_map(jax.device_put, batch)

@@ -53,7 +53,7 @@ class Enhancer:
     wire is the bottleneck on remote-attached TPUs); "float32" is exact.
     """
 
-    def __init__(self, cfg: Config, variables, window_chunk: int = 256,
+    def __init__(self, cfg: Config, variables, window_chunk: int = 2048,
                  buckets_seconds=DEFAULT_BUCKETS_SECONDS,
                  out_wire: str = "int16"):
         self.cfg = cfg
@@ -74,7 +74,9 @@ class Enhancer:
         fl, fs = a.frame_length, a.frame_step
         impl = sp.resolve_stft_impl(a.stft_impl)
         F = sp.num_frames(num_samples, fl, fs)
-        WC = self.window_chunk
+        # clamp the chunk to the actual window count (rounded to the MXU
+        # batch granule) so small programs don't pad 2048-wide chunks
+        WC = min(self.window_chunk, max(256, -(-(batch * F) // 256) * 256))
         W = m.window_frames
         ctx_n = context_samples(cfg)
         Fc = sp.num_frames(ctx_n, fl, fs)  # == context_frames

@@ -54,11 +54,20 @@ def param_counts(state: TrainState) -> Tuple[int, int]:
 
 
 def make_train_step(cfg: Config, model: NHANSNet, tx,
-                    mesh=None, donate: bool = True):
+                    mesh=None, donate: bool = True,
+                    state: "TrainState" = None,
+                    use_model_axis: bool = False):
     """Build the jitted train step.
 
     Signature: (state, raw_batch, key) -> (state, metrics) where raw_batch
     holds clean/noise_a/noise_b [B, L] waveform buffers + lengths.
+
+    ``use_model_axis`` shards wide kernels' output channels over the
+    mesh's ``model`` axis (tensor parallelism; parallel/sharding_rules) —
+    pass the ``state`` template so per-leaf shardings can be constructed.
+    XLA's SPMD partitioner propagates the activation shardings and inserts
+    the collectives through the Inject/BN pattern (verified numerically in
+    tests/test_sharding.py::test_model_axis_end_to_end).
     """
     W = cfg.model.window_frames
     # The fused Pallas spectrogram is used on single-device programs; under
@@ -101,10 +110,16 @@ def make_train_step(cfg: Config, model: NHANSNet, tx,
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_sh = repl
+    if use_model_axis:
+        if state is None:
+            raise ValueError("use_model_axis requires the state template")
+        from nhans_tpu.parallel.sharding_rules import state_sharding
+        state_sh = state_sharding(mesh, state, use_model_axis=True)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -52,10 +52,12 @@ class Trainer:
         self.tstep = 0
 
         # global batch = utterances * slices_per_step examples; utterance
-        # count rounded up to a multiple of the data-axis size
+        # count rounded up to a multiple of the data-axis size.  The
+        # loader feeds each HOST its share of the global batch.
         ndev = self.mesh.shape["data"]
         k = cfg.data.slices_per_step
         self.batch_utts = -(-max(t.train_mb // k, 1) // ndev) * ndev
+        self.local_utts = self.batch_utts // jax.process_count()
 
         trainable, non_trainable = param_counts(self.state)
         print(f"#trainable variables: {trainable}")
@@ -83,6 +85,8 @@ class Trainer:
                 "batch_stats": self.state.batch_stats}
 
     def save_and_eval(self, async_eval: bool = False) -> None:
+        if jax.process_index() != 0:
+            return  # checkpoints + eval are process-0 duties (multi-host)
         t = self.cfg.train
         print("Saving and restoring the model")
         snapshot = jax.device_get(self.state)
@@ -119,7 +123,7 @@ class Trainer:
         cfg, t = self.cfg, self.cfg.train
         state_sh = NamedSharding(self.mesh, P())
         self.state = jax.device_put(self.state, state_sh)
-        loader = TrainLoader(cfg, self.batch_utts)
+        loader = TrainLoader(cfg, self.local_utts)
         stream = prefetch_to_device(loader, batch_sharding(self.mesh))
         base_key = jax.random.PRNGKey(cfg.data.seed + 17)
 

@@ -53,6 +53,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float)]
+    lib.nhans_load_batch_i16.restype = ctypes.c_int32
+    lib.nhans_load_batch_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float)]
     _lib = lib
     return lib
 
@@ -95,6 +101,32 @@ def load_batch(paths: List[str], max_samples: int,
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     failed = lib.nhans_load_batch(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        expect_rate, num_threads,
+        peaks.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if failed:
+        bad = [paths[i] for i in range(n) if lens[i] < 0]
+        raise ValueError(f"native batch decode: {failed} failures: {bad[:3]}")
+    return out, lens.astype(np.int32), peaks
+
+
+def load_batch_i16(paths: List[str], max_samples: int,
+                   expect_rate: int = 16000,
+                   num_threads: int = 8
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a batch of wavs straight into a zeroed int16 [n, max_samples]
+    buffer (the train pipeline's wire format) with lengths and whole-file
+    peaks — no float32 intermediate, no GIL-bound numpy conversion."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(paths)
+    out = np.zeros((n, max_samples), np.int16)
+    lens = np.zeros(n, np.int64)
+    peaks = np.zeros(n, np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failed = lib.nhans_load_batch_i16(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         max_samples, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         expect_rate, num_threads,
         peaks.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

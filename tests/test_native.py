@@ -79,3 +79,30 @@ def test_native_batch(tmp_path, built, rng):
 def test_native_batch_error(tmp_path, built):
     with pytest.raises(ValueError):
         native.load_batch([str(tmp_path / "missing.wav")], 100)
+
+
+def test_native_batch_i16(tmp_path, built, rng):
+    paths, refs = [], []
+    for i in range(4):
+        x = (rng.standard_normal(3000 + 50 * i) * 2000).astype(np.int16)
+        paths.append(_write(tmp_path, f"q{i}.wav", x))
+        refs.append(x)
+    buf, lens, peaks = native.load_batch_i16(paths, 4000, num_threads=2)
+    assert buf.dtype == np.int16
+    for i in range(4):
+        assert lens[i] == 3000 + 50 * i
+        np.testing.assert_array_equal(buf[i, :lens[i]], refs[i])
+        assert (buf[i, lens[i]:] == 0).all()
+        assert peaks[i] == float(np.abs(refs[i]).max())
+
+
+def test_native_i16_stereo_and_cap_peak(tmp_path, built, rng):
+    x = (rng.standard_normal((9000, 2)) * 3000).astype(np.int16)
+    p = _write(tmp_path, "qs.wav", x)
+    buf, lens, peaks = native.load_batch_i16([p], 4000)
+    ref = wavio.read_wav_strict(p)  # float mean downmix
+    assert lens[0] == 4000
+    np.testing.assert_allclose(buf[0].astype(np.float64),
+                               np.rint(ref[:4000]), atol=1.0)
+    # peak scanned over the WHOLE file (unrounded downmix)
+    assert abs(peaks[0] - np.abs(ref).max()) < 0.51

@@ -1,0 +1,118 @@
+"""Build a small int16 training corpus from the reference's golden demo
+audio (the only real audio reachable in this environment; the SPL split
+manifests list LibriSpeech/AudioSet IDs but ship no audio).
+
+Split design — the 7 DEMO denoising examples are FULLY held out (neither
+their speech nor their noises appear in training), so SI-SDR on them is a
+legitimate unseen-speaker / unseen-noise evaluation:
+
+* speech/train: the 15 source_separation `denoised` wavs (separated
+  target-speaker speech, ~109 s) + the 5 selective-suppression `target`
+  wavs (~20 s)
+* speech/valid+test: the 7 denoising `target` wavs (~22 s)
+* noise/train: selective-suppression neg+pos noises (10) + the
+  audio_examples noise recordings
+* noise/valid+test: the 7 denoising `negNoise` wavs
+
+All demo wavs are float32 normalized; they are rescaled to int16 PCM (the
+framework's strict audio contract, reference reader.py:118-125).
+
+Usage: python tools/make_demo_corpus.py --out /tmp/nhans_corpus
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+from scipy.io import wavfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+DEMO = os.path.join(REF, "DEMO_N-HANS")
+AEX = os.path.join(REF, "N_HANS___Selective_Noise", "audio_examples")
+
+
+def _collect(base, kind_substr):
+    out = []
+    for dirpath, _dirs, files in sorted(os.walk(base)):
+        for f in sorted(files):
+            if f.endswith(".wav") and kind_substr in f.split("_")[-1]:
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+def _write_int16(src, dst_dir, name=None):
+    os.makedirs(dst_dir, exist_ok=True)
+    rate, x = wavfile.read(src)
+    assert rate == 16000, src
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    if x.dtype != np.int16:
+        x = np.asarray(x, np.float64)
+        peak = np.max(np.abs(x)) + 1e-9
+        x = np.rint(x / peak * 32000.0).astype(np.int16)
+    name = name or os.path.basename(src)
+    wavfile.write(os.path.join(dst_dir, name), rate, x)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="/tmp/nhans_corpus")
+    args = p.parse_args()
+
+    speech = os.path.join(args.out, "speech")
+    noise = os.path.join(args.out, "noise")
+    # start clean: stale files from previous builds would leak into splits
+    import shutil
+    for d in (speech, noise):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    # --- speech/train
+    train_speech = (_collect(os.path.join(DEMO, "source_separation"),
+                             "denoised")
+                    + _collect(os.path.join(DEMO,
+                                            "selective_noise_suppression"),
+                               "target"))
+    for i, p_ in enumerate(train_speech):
+        _write_int16(p_, os.path.join(speech, "train"), f"sp{i:03d}.wav")
+
+    # --- speech/valid + test: held-out denoising targets
+    for split in ("valid", "test"):
+        for i, p_ in enumerate(_collect(os.path.join(DEMO, "denoising"),
+                                        "target")):
+            _write_int16(p_, os.path.join(speech, split), f"dn{i:03d}.wav")
+
+    # --- noise/train
+    train_noise = (_collect(os.path.join(DEMO,
+                                         "selective_noise_suppression"),
+                            "negNoise")
+                   + _collect(os.path.join(DEMO,
+                                           "selective_noise_suppression"),
+                              "posNoise"))
+    for f in ("exp1_noise.wav", "exp2_noise.wav", "exp1_+noise.wav",
+              "exp1_-noise.wav"):
+        p_ = os.path.join(AEX, f)
+        if os.path.exists(p_):
+            train_noise.append(p_)
+    for i, p_ in enumerate(train_noise):
+        _write_int16(p_, os.path.join(noise, "train"), f"ns{i:03d}.wav")
+
+    # --- noise/valid + test: held-out denoising negNoises
+    for split in ("valid", "test"):
+        for i, p_ in enumerate(_collect(os.path.join(DEMO, "denoising"),
+                                        "negNoise")):
+            _write_int16(p_, os.path.join(noise, split), f"dn_ns{i:03d}.wav")
+
+    from nhans_tpu.data.manifest import create_seeds
+    sp = create_seeds(speech)
+    ns = create_seeds(noise)
+    for k in ("train", "valid", "test"):
+        print(f"{k}: {len(sp[k])} speech, {len(ns[k])} noise")
+    print(f"corpus at {args.out}")
+
+
+if __name__ == "__main__":
+    main()

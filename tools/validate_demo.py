@@ -65,7 +65,7 @@ def main():
     from nhans_tpu.cli._app import load_enhancer
     from nhans_tpu.config import Config
     from nhans_tpu.utils import wavio
-    from nhans_tpu.utils.scoring import si_sdr
+    from nhans_tpu.utils.scoring import pesq_score, si_sdr, stoi
 
     cfg = (Config.separator() if args.task == "separator"
            else Config.denoiser())
@@ -100,6 +100,11 @@ def main():
             mixed_n = out["mixed_processed"]
             row.append(f"SI-SDR(ours, target) = {si_sdr(den, target):7.2f}")
             row.append(f"SI-SDR(mixed, target) = {si_sdr(mixed_n, target):7.2f}")
+            row.append(f"STOI(ours) = {stoi(den, target):5.3f}")
+            row.append(f"STOI(mixed) = {stoi(mixed_n, target):5.3f}")
+            p = pesq_score(den, target)
+            if p is not None:
+                row.append(f"PESQ = {p:4.2f}")
         print("  ".join(row))
 
 
