@@ -242,6 +242,11 @@ def add_reference_flags(parser, *, inference: bool = False,
     parser.add_argument("--context_frames", type=int, default=200)
     parser.add_argument("--window_frames", type=int, default=35)
     parser.add_argument("--random_slices", type=int, default=50)
+    parser.add_argument("--slices_per_step", type=int, default=4,
+                        help="crops per utterance per device step (the "
+                             "TPU pipeline's analog of --random_slices; "
+                             "train_mb/slices_per_step utterances ride "
+                             "the wire each step)")
     parser.add_argument("--eval_seeds", default="valid")
     parser.add_argument("--wav_dump_folder", default="./wav_dump/")
     parser.add_argument("--speech_wav_dir", default="./speech_wav_dir/")
@@ -289,6 +294,7 @@ def config_from_args(args, task: str = "denoiser") -> Config:
         noise_wav_dir=getattr(args, "noise_wav_dir", "./noise_wav_dir/"),
         eval_seeds=getattr(args, "eval_seeds", "valid"),
         random_slices=getattr(args, "random_slices", 50),
+        slices_per_step=getattr(args, "slices_per_step", 4),
     )
     train = TrainConfig(
         alg=getattr(args, "alg", "sgd"),

@@ -43,7 +43,14 @@ def _collect(base, kind_substr):
     return out
 
 
-def _write_int16(src, dst_dir, name=None):
+# Longest training piece: just under the 4 s length bucket (whole
+# frames), so train batches ride the smallest wire bucket — the
+# host->device transfer is the throughput bottleneck on remote-attached
+# chips (docs/PROFILE.md).
+SEG = 63920
+
+
+def _write_int16(src, dst_dir, name=None, segment=0):
     os.makedirs(dst_dir, exist_ok=True)
     rate, x = wavfile.read(src)
     assert rate == 16000, src
@@ -54,6 +61,15 @@ def _write_int16(src, dst_dir, name=None):
         peak = np.max(np.abs(x)) + 1e-9
         x = np.rint(x / peak * 32000.0).astype(np.int16)
     name = name or os.path.basename(src)
+    if segment and len(x) > segment:
+        stem, ext = os.path.splitext(name)
+        for j, s0 in enumerate(range(0, len(x), segment)):
+            piece = x[s0:s0 + segment]
+            if len(piece) < 16000:  # drop sub-second tails
+                continue
+            wavfile.write(os.path.join(dst_dir, f"{stem}_{j}{ext}"),
+                          rate, piece)
+        return
     wavfile.write(os.path.join(dst_dir, name), rate, x)
 
 
@@ -77,7 +93,8 @@ def main():
                                             "selective_noise_suppression"),
                                "target"))
     for i, p_ in enumerate(train_speech):
-        _write_int16(p_, os.path.join(speech, "train"), f"sp{i:03d}.wav")
+        _write_int16(p_, os.path.join(speech, "train"), f"sp{i:03d}.wav",
+                     segment=SEG)
 
     # --- speech/valid + test: held-out denoising targets
     for split in ("valid", "test"):
@@ -98,7 +115,8 @@ def main():
         if os.path.exists(p_):
             train_noise.append(p_)
     for i, p_ in enumerate(train_noise):
-        _write_int16(p_, os.path.join(noise, "train"), f"ns{i:03d}.wav")
+        _write_int16(p_, os.path.join(noise, "train"), f"ns{i:03d}.wav",
+                     segment=SEG)
 
     # --- noise/valid + test: held-out denoising negNoises
     for split in ("valid", "test"):
