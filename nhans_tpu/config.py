@@ -149,6 +149,11 @@ class DataConfig:
     # PCIe/ICI bytes (wavs are int16-origin anyway; only stereo-downmix
     # means round).  "float32" for bit-exact strictness.
     transfer_dtype: str = "int16"
+    # Train-time noise augmentation (random circular shift / time
+    # reversal / polarity of the noise recordings, on-device).  OFF by
+    # default: the reference has none (documented divergence when on);
+    # multiplies effective noise diversity on small corpora.
+    augment_noise: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -242,6 +247,10 @@ def add_reference_flags(parser, *, inference: bool = False,
     parser.add_argument("--context_frames", type=int, default=200)
     parser.add_argument("--window_frames", type=int, default=35)
     parser.add_argument("--random_slices", type=int, default=50)
+    parser.add_argument("--augment_noise", action="store_true",
+                        default=False,
+                        help="random circular-shift/reversal/polarity of "
+                             "train noise recordings (on-device)")
     parser.add_argument("--slices_per_step", type=int, default=4,
                         help="crops per utterance per device step (the "
                              "TPU pipeline's analog of --random_slices; "
@@ -295,6 +304,7 @@ def config_from_args(args, task: str = "denoiser") -> Config:
         eval_seeds=getattr(args, "eval_seeds", "valid"),
         random_slices=getattr(args, "random_slices", 50),
         slices_per_step=getattr(args, "slices_per_step", 4),
+        augment_noise=getattr(args, "augment_noise", False),
     )
     train = TrainConfig(
         alg=getattr(args, "alg", "sgd"),

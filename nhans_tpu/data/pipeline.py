@@ -60,12 +60,37 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
     W, C = m.window_frames, m.context_frames
     pad_before = ((W + 1) // 2) - 1
 
-    k_snr_a, k_snr_b, k_win, k_ctx_a, k_ctx_b = jax.random.split(key, 5)
+    (k_snr_a, k_snr_b, k_win, k_ctx_a, k_ctx_b,
+     k_aug_a, k_aug_b) = jax.random.split(key, 7)
 
     # accept int16 wire format (loader transfer_dtype) — cast on device
     clean = clean.astype(jnp.float32)
     noise_a = noise_a.astype(jnp.float32)
     noise_b = noise_b.astype(jnp.float32)
+
+    if cfg.data.augment_noise and task.two_noise_mixing:
+        # on-device noise augmentation (no reference counterpart —
+        # documented divergence, docs/PARITY.md): random circular shift,
+        # time reversal and polarity of each noise recording multiply the
+        # effective diversity of small noise corpora.  Peak-invariant, so
+        # the host-computed whole-file peaks stay valid.
+        def aug(x, n, kk):
+            ks, kr, kp = jax.random.split(kk, 3)
+            n = jnp.maximum(jnp.asarray(n, jnp.int32), 1)
+            shift = jax.random.randint(ks, (B,), 0, 1 << 30) % n
+            rev = jax.random.bernoulli(kr, shape=(B,))
+            sign = jnp.where(jax.random.bernoulli(kp, shape=(B,)),
+                             1.0, -1.0).astype(x.dtype)
+            ar = jnp.arange(x.shape[-1], dtype=jnp.int32)[None, :]
+            fwd = jnp.remainder(shift[:, None] + ar, n[:, None])
+            bwd = jnp.remainder(shift[:, None] - ar, n[:, None])
+            idx = jnp.where(rev[:, None], bwd, fwd)
+            out = jnp.take_along_axis(x, idx, axis=-1)
+            mask = (ar < n[:, None]).astype(x.dtype)
+            return out * mask * sign[:, None]
+
+        noise_a = aug(noise_a, len_a, k_aug_a)
+        noise_b = aug(noise_b, len_b, k_aug_b)
 
     # --- normalize + trim (reference reader.py:186-198); peaks [B, 3],
     # when provided by the loader, are the whole-file maxima (see loader)

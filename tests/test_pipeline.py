@@ -190,3 +190,26 @@ def test_separator_context_uses_full_length_noise(rng):
             hit_late = True
             break
     assert hit_late
+
+
+def test_noise_augmentation_is_peak_invariant(rng):
+    """--augment_noise: circular shift/reversal/polarity must preserve
+    the noise sample multiset over the valid region (so SNR gains and
+    host-computed peaks stay exact) and change across keys."""
+    cfg = _cfg(k=2)
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, augment_noise=True))
+    L = cfg.data.max_samples
+    b = _batch(rng, 1, L)
+    lens = dict(clean_len=jnp.asarray([L]), len_a=jnp.asarray([30000]),
+                len_b=jnp.asarray([L]))
+    ex1 = make_train_batch(cfg, jax.random.PRNGKey(0), b["clean"],
+                           b["noise_a"], b["noise_b"], **lens)
+    ex2 = make_train_batch(cfg, jax.random.PRNGKey(1), b["clean"],
+                           b["noise_a"], b["noise_b"], **lens)
+    for ex in (ex1, ex2):
+        assert np.isfinite(np.asarray(ex["mixed"])).all()
+    # different augmentation draws -> different context crops
+    assert not np.allclose(np.asarray(ex1["ctx_a"]), np.asarray(ex2["ctx_a"]))
+    # SNRs still drawn from the task set
+    assert set(np.asarray(ex1["snr_a"]).tolist()) <= set(
+        float(s) for s in cfg.task.snr_set)
