@@ -60,6 +60,8 @@ def main():
                    choices=("denoiser", "selective", "separator"))
     p.add_argument("--checkpoint", default="")
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--json", default="",
+                   help="also write records here for tools/quality_report.py")
     args = p.parse_args()
 
     from nhans_tpu.cli._app import load_enhancer
@@ -78,6 +80,7 @@ def main():
         print("no examples found")
         return
 
+    records = []
     for ex in examples:
         mixed = wavio.read_for_processing(ex["mixed"])
         neg = (wavio.read_for_processing(ex["neg"]) if ex["neg"]
@@ -92,20 +95,37 @@ def main():
         den = out["denoised"]
         golden = wavio.read_for_processing(ex["golden"])
         golden = golden / (np.max(np.abs(golden)) + 1e-6)
+        rec = dict(example=ex["name"])
         row = [f"{ex['name']:12s}",
                f"SI-SDR(ours, golden) = {si_sdr(den, golden):7.2f} dB"]
         if ex["target"]:
             target = wavio.read_for_processing(ex["target"])
             target = target / (np.max(np.abs(target)) + 1e-6)
             mixed_n = out["mixed_processed"]
-            row.append(f"SI-SDR(ours, target) = {si_sdr(den, target):7.2f}")
-            row.append(f"SI-SDR(mixed, target) = {si_sdr(mixed_n, target):7.2f}")
-            row.append(f"STOI(ours) = {stoi(den, target):5.3f}")
-            row.append(f"STOI(mixed) = {stoi(mixed_n, target):5.3f}")
+            rec.update(
+                si_sdr_ours=si_sdr(den, target),
+                si_sdr_mixed=si_sdr(mixed_n, target),
+                si_sdr_golden=si_sdr(golden, target),
+                stoi_ours=stoi(den, target),
+                stoi_mixed=stoi(mixed_n, target),
+                stoi_golden=stoi(golden, target))
+            row.append(f"SI-SDR(ours, target) = {rec['si_sdr_ours']:7.2f}")
+            row.append(f"SI-SDR(mixed, target) = {rec['si_sdr_mixed']:7.2f}")
+            row.append(f"SI-SDR(golden, target) = {rec['si_sdr_golden']:7.2f}")
+            row.append(f"STOI(ours) = {rec['stoi_ours']:5.3f}")
+            row.append(f"STOI(mixed) = {rec['stoi_mixed']:5.3f}")
             p = pesq_score(den, target)
             if p is not None:
+                rec["pesq_ours"] = p
                 row.append(f"PESQ = {p:4.2f}")
+        records.append(rec)
         print("  ".join(row))
+
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"records -> {args.json}")
 
 
 if __name__ == "__main__":
