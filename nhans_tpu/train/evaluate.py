@@ -171,10 +171,11 @@ class Evaluator:
         (main.py:339-353,539-543).  SI-SDR of denoised-vs-target and
         mixed-vs-target is reported alongside the loss — the quality
         metric BASELINE.md tracks (the reference only prints loss)."""
-        from nhans_tpu.utils.scoring import pesq_score, si_sdr, stoi
+        from nhans_tpu.utils.scoring import estoi, pesq_score, si_sdr, stoi
         losses, counts = [], []
         sisdr_out, sisdr_in = [], []
         stoi_out, stoi_in, pesq_out = [], [], []
+        estoi_out, estoi_in = [], []
         fs = self.cfg.audio.sample_rate
 
         def groups():
@@ -237,6 +238,8 @@ class Evaluator:
                 if np.isfinite(s):
                     stoi_out.append(s)
                     stoi_in.append(stoi(mix, tgt, fs))
+                    estoi_out.append(estoi(den, tgt, fs))
+                    estoi_in.append(estoi(mix, tgt, fs))
                 p = pesq_score(den, tgt, fs)
                 if p is not None:
                     pesq_out.append(p)
@@ -286,6 +289,10 @@ class Evaluator:
             metrics["stoi_mixed"] = float(np.mean(stoi_in))
             print(f"stoi: {metrics['stoi']:.3f} "
                   f"(mixed: {metrics['stoi_mixed']:.3f})")
+            metrics["estoi"] = float(np.mean(estoi_out))
+            metrics["estoi_mixed"] = float(np.mean(estoi_in))
+            print(f"estoi: {metrics['estoi']:.3f} "
+                  f"(mixed: {metrics['estoi_mixed']:.3f})")
         if pesq_out:  # optional pesq package (utils/scoring.py)
             metrics["pesq"] = float(np.mean(pesq_out))
             print(f"pesq: {metrics['pesq']:.2f}")

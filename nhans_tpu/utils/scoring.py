@@ -104,28 +104,9 @@ def stoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000) -> float:
     ``ref`` is the clean signal).  Signals are resampled to 10 kHz, silent
     clean frames removed, 1/3-octave band envelopes compared over 384 ms
     segments with normalization + SDR clipping."""
-    from scipy.signal import resample_poly
-
-    est, ref = _align(est, ref)
-    if fs != _STOI_FS:
-        g = np.gcd(int(fs), _STOI_FS)
-        est = resample_poly(est, _STOI_FS // g, fs // g)
-        ref = resample_poly(ref, _STOI_FS // g, fs // g)
-
-    xf = _stoi_frames(ref)
-    yf = _stoi_frames(est)
-    if len(xf) < _STOI_SEG:
+    X, Y = _stoi_band_envelopes(est, ref, fs)
+    if X is None:
         return float("nan")
-    # remove silent frames (clean-energy mask, 40 dB dynamic range)
-    e = 20 * np.log10(np.linalg.norm(xf, axis=1) + 1e-12)
-    keep = e > (e.max() - _STOI_DYN)
-    xf, yf = xf[keep], yf[keep]
-    if len(xf) < _STOI_SEG:
-        return float("nan")
-
-    obm, _ = _thirdoct(_STOI_FS, _STOI_NFFT, _STOI_NBANDS, _STOI_MINFREQ)
-    X = np.sqrt(obm @ (np.abs(np.fft.rfft(xf, _STOI_NFFT, axis=1)).T ** 2))
-    Y = np.sqrt(obm @ (np.abs(np.fft.rfft(yf, _STOI_NFFT, axis=1)).T ** 2))
     # X, Y: [bands, frames]
 
     N = _STOI_SEG
@@ -143,6 +124,59 @@ def stoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000) -> float:
         den = (np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
                + 1e-12)
         scores.append(num / den)
+    return float(np.mean(scores))
+
+
+def _stoi_band_envelopes(est: np.ndarray, ref: np.ndarray, fs: int):
+    """Shared STOI/ESTOI front-end: resample to 10 kHz, frame, drop
+    silent clean frames, 1/3-octave band magnitudes [bands, frames]."""
+    from scipy.signal import resample_poly
+
+    est, ref = _align(est, ref)
+    if fs != _STOI_FS:
+        g = np.gcd(int(fs), _STOI_FS)
+        est = resample_poly(est, _STOI_FS // g, fs // g)
+        ref = resample_poly(ref, _STOI_FS // g, fs // g)
+    xf = _stoi_frames(ref)
+    yf = _stoi_frames(est)
+    if len(xf) < _STOI_SEG:
+        return None, None
+    e = 20 * np.log10(np.linalg.norm(xf, axis=1) + 1e-12)
+    keep = e > (e.max() - _STOI_DYN)
+    xf, yf = xf[keep], yf[keep]
+    if len(xf) < _STOI_SEG:
+        return None, None
+    obm, _ = _thirdoct(_STOI_FS, _STOI_NFFT, _STOI_NBANDS, _STOI_MINFREQ)
+    X = np.sqrt(obm @ (np.abs(np.fft.rfft(xf, _STOI_NFFT, axis=1)).T ** 2))
+    Y = np.sqrt(obm @ (np.abs(np.fft.rfft(yf, _STOI_NFFT, axis=1)).T ** 2))
+    return X, Y
+
+
+def estoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000) -> float:
+    """Extended STOI (Jensen & Taal, 2016): spectral-correlation variant
+    robust to modulated maskers.  Same 1/3-octave front-end as STOI; per
+    384 ms segment, rows (bands) then columns (frames) are mean/norm
+    normalized and the mean column correlation is averaged."""
+    X, Y = _stoi_band_envelopes(est, ref, fs)
+    if X is None:
+        return float("nan")
+    N = _STOI_SEG
+    scores = []
+    for m in range(N, X.shape[1] + 1):
+        Xs = X[:, m - N:m]
+        Ys = Y[:, m - N:m]
+
+        def norm_rows(a):
+            a = a - a.mean(axis=1, keepdims=True)
+            return a / (np.linalg.norm(a, axis=1, keepdims=True) + 1e-12)
+
+        def norm_cols(a):
+            a = a - a.mean(axis=0, keepdims=True)
+            return a / (np.linalg.norm(a, axis=0, keepdims=True) + 1e-12)
+
+        Xn = norm_cols(norm_rows(Xs))
+        Yn = norm_cols(norm_rows(Ys))
+        scores.append(np.sum(Xn * Yn) / N)
     return float(np.mean(scores))
 
 

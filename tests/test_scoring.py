@@ -75,3 +75,34 @@ def test_pesq_gated():
     x = np.sin(np.arange(32000) / 16000 * 2 * np.pi * 440)
     out = pesq_score(x, x)
     assert out is None or out > 3.0  # None when the pesq pkg is absent
+
+def test_estoi_properties(rng):
+    from nhans_tpu.utils.scoring import estoi
+    # broadband speech-like carrier (amplitude-modulated noise) so every
+    # 1/3-octave band carries signal — ESTOI weights all bands' envelopes
+    # equally, so band-sparse multi-tones are degenerate for it
+    fs = 16000
+    t = np.arange(fs * 3) / fs
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t)
+    x = env * rng.standard_normal(len(t))
+    clean = estoi(x, x, fs)
+    assert clean > 0.95, clean
+    noise = rng.standard_normal(len(x))
+    light = estoi(x + 0.2 * noise, x, fs)
+    heavy = estoi(x + 2.0 * noise, x, fs)
+    assert clean > light > heavy, (clean, light, heavy)
+
+
+def test_estoi_real_demo_golden():
+    import os
+    from scipy.io import wavfile
+    from nhans_tpu.utils.scoring import estoi
+    d = "/root/reference/DEMO_N-HANS/denoising/example1"
+    if not os.path.isdir(d):
+        import pytest
+        pytest.skip("reference demo corpus unavailable")
+    files = {f.split("_")[-1]: os.path.join(d, f) for f in os.listdir(d)}
+    _, tgt = wavfile.read(files["target.wav"])
+    _, mixed = wavfile.read(files["mixed.wav"])
+    assert estoi(tgt, tgt) > 0.99
+    assert estoi(mixed, tgt) < estoi(tgt, tgt)
