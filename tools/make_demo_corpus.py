@@ -73,9 +73,32 @@ def _write_int16(src, dst_dir, name=None, segment=0):
     wavfile.write(os.path.join(dst_dir, name), rate, x)
 
 
+def _speed_perturb(src_dir, factors=(0.9, 1.1)):
+    """Kaldi-style speed perturbation of every wav in ``src_dir``:
+    resample by 10/9 and 10/11 (tempo+pitch shift), written alongside the
+    originals.  Standard small-corpus augmentation; applied at corpus
+    build so the training pipeline itself stays reference-faithful."""
+    from scipy.signal import resample_poly
+    for f in sorted(os.listdir(src_dir)):
+        if not f.endswith(".wav"):
+            continue
+        rate, x = wavfile.read(os.path.join(src_dir, f))
+        for fac in factors:
+            # speed f => duration x 1/f => resample by (10, 10*f)
+            up, dn = (10, 9) if fac < 1.0 else (10, 11)
+            y = resample_poly(x.astype(np.float64), up, dn)
+            y = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
+            tag = str(fac).replace(".", "")
+            wavfile.write(os.path.join(
+                src_dir, f[:-4] + f"_sp{tag}.wav"), rate, y)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/nhans_corpus")
+    p.add_argument("--speed_perturb", action="store_true", default=False,
+                   help="add 0.9x/1.1x resampled copies of train speech "
+                        "and noise (3x corpus)")
     args = p.parse_args()
 
     speech = os.path.join(args.out, "speech")
@@ -86,15 +109,31 @@ def main():
         if os.path.isdir(d):
             shutil.rmtree(d)
 
-    # --- speech/train
-    train_speech = (_collect(os.path.join(DEMO, "source_separation"),
-                             "denoised")
+    # --- speech/train: every clean speech source outside the held-out
+    # denoising examples.  The source_separation posNoise/negNoise files
+    # are SPEAKER recordings (clean speech — the separator's conditioning
+    # contexts), target ~= denoised (same utterance); speaker IDs are
+    # VoxCeleb-style, disjoint from the denoising examples' LibriSpeech
+    # speakers, so there is no leakage into the eval split.
+    ss = os.path.join(DEMO, "source_separation")
+    train_speech = (_collect(ss, "denoised")
+                    + _collect(ss, "target")
+                    + _collect(ss, "posNoise")
+                    + _collect(ss, "negNoise")
                     + _collect(os.path.join(DEMO,
                                             "selective_noise_suppression"),
                                "target"))
+    ss_aex = os.path.join(REF, "N_HANS___Source_Separation",
+                          "audio_examples")
+    for f in ("target_speaker.wav", "noise_speaker.wav"):
+        p_ = os.path.join(ss_aex, f)
+        if os.path.exists(p_):
+            train_speech.append(p_)
     for i, p_ in enumerate(train_speech):
         _write_int16(p_, os.path.join(speech, "train"), f"sp{i:03d}.wav",
                      segment=SEG)
+    if args.speed_perturb:
+        _speed_perturb(os.path.join(speech, "train"))
 
     # --- speech/valid + test: held-out denoising targets
     for split in ("valid", "test"):
@@ -117,6 +156,8 @@ def main():
     for i, p_ in enumerate(train_noise):
         _write_int16(p_, os.path.join(noise, "train"), f"ns{i:03d}.wav",
                      segment=SEG)
+    if args.speed_perturb:
+        _speed_perturb(os.path.join(noise, "train"))
 
     # --- noise/valid + test: held-out denoising negNoises
     for split in ("valid", "test"):
