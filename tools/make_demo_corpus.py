@@ -89,8 +89,15 @@ def _speed_perturb(src_dir, factors=(0.9, 1.1)):
             y = resample_poly(x.astype(np.float64), up, dn)
             y = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
             tag = str(fac).replace(".", "")
-            wavfile.write(os.path.join(
-                src_dir, f[:-4] + f"_sp{tag}.wav"), rate, y)
+            # keep every piece within the SEG wire bucket (slowdown can
+            # push a SEG-sized segment past it, which would bump every
+            # train batch into the next padded-length bucket)
+            for j, s0 in enumerate(range(0, len(y), SEG)):
+                piece = y[s0:s0 + SEG]
+                if len(piece) < 16000:
+                    continue
+                wavfile.write(os.path.join(
+                    src_dir, f[:-4] + f"_sp{tag}_{j}.wav"), rate, piece)
 
 
 def main():
