@@ -142,11 +142,28 @@ def main():
     if args.speed_perturb:
         _speed_perturb(os.path.join(speech, "train"))
 
-    # --- speech/valid + test: held-out denoising targets
+    # --- speech/valid + test: held-out denoising targets, looped to ~10 s.
+    # The reference eval protocol reserves the first 200 frames (2 s) of
+    # every utterance as conditioning context and scores only the rest
+    # (reference reader.py:398-420); the demo targets are 2-5 s, which
+    # leaves some utterances with a handful of scored frames.  Looping to
+    # eval-buffer length (10 s, like the LibriSpeech utterances the
+    # reference evaluated on) makes the held-out SI-SDR well-defined.
+    EVAL_LEN = 160000
     for split in ("valid", "test"):
+        dst = os.path.join(speech, split)
+        os.makedirs(dst, exist_ok=True)
         for i, p_ in enumerate(_collect(os.path.join(DEMO, "denoising"),
                                         "target")):
-            _write_int16(p_, os.path.join(speech, split), f"dn{i:03d}.wav")
+            rate, x = wavfile.read(p_)
+            assert rate == 16000, p_
+            if x.dtype != np.int16:
+                x = np.asarray(x, np.float64)
+                x = np.rint(x / (np.max(np.abs(x)) + 1e-9)
+                            * 32000.0).astype(np.int16)
+            reps = int(np.ceil(EVAL_LEN / max(len(x), 1)))
+            x = np.tile(x, reps)[:EVAL_LEN]
+            wavfile.write(os.path.join(dst, f"dn{i:03d}.wav"), rate, x)
 
     # --- noise/train
     train_noise = (_collect(os.path.join(DEMO,
