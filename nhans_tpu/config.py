@@ -154,6 +154,12 @@ class DataConfig:
     # default: the reference has none (documented divergence when on);
     # multiplies effective noise diversity on small corpora.
     augment_noise: bool = False
+    # In-memory decoded-file cache budget (MB) for the train loader.
+    # Small corpora fit entirely and skip wav decode after the first
+    # epoch (the demo-corpus quality runs are input-bound on 1-core
+    # hosts); large corpora simply overflow the budget and keep
+    # decoding.  0 disables.
+    decode_cache_mb: int = 512
 
 
 @dataclasses.dataclass(frozen=True)
@@ -256,6 +262,9 @@ def add_reference_flags(parser, *, inference: bool = False,
                              "TPU pipeline's analog of --random_slices; "
                              "train_mb/slices_per_step utterances ride "
                              "the wire each step)")
+    parser.add_argument("--decode_cache_mb", type=int, default=512,
+                        help="in-memory decoded-file cache budget for "
+                             "the train loader (0 disables)")
     parser.add_argument("--eval_seeds", default="valid")
     parser.add_argument("--wav_dump_folder", default="./wav_dump/")
     parser.add_argument("--speech_wav_dir", default="./speech_wav_dir/")
@@ -305,6 +314,7 @@ def config_from_args(args, task: str = "denoiser") -> Config:
         random_slices=getattr(args, "random_slices", 50),
         slices_per_step=getattr(args, "slices_per_step", 4),
         augment_noise=getattr(args, "augment_noise", False),
+        decode_cache_mb=getattr(args, "decode_cache_mb", 512),
     )
     train = TrainConfig(
         alg=getattr(args, "alg", "sgd"),

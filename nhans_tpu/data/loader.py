@@ -71,6 +71,14 @@ class TrainLoader:
         self._err: List[BaseException] = []
         self._stop = threading.Event()
         self._threads = []
+        # decoded-file cache: path -> (samples[:n] wire-dtype, n, peak).
+        # Small corpora (the demo quality runs) fit entirely, removing
+        # wav decode from the steady-state hot loop; large corpora
+        # overflow the budget and fall back to per-batch decoding.
+        self._cache: Dict[str, tuple] = {}
+        self._cache_bytes = 0
+        self._cache_budget = cfg.data.decode_cache_mb * (1 << 20)
+        self._cache_lock = threading.Lock()
         n_workers = num_workers or cfg.data.num_workers
         base_seed = cfg.data.seed if seed is None else seed
         for w in range(n_workers):
@@ -97,64 +105,75 @@ class TrainLoader:
                 # reference's whole-file peak (reference reader.py:186-189).
                 peaks = np.zeros((B, 3), np.float32)
                 want_i16 = self.cfg.data.transfer_dtype == "int16"
-                if use_native:
-                    # C++ RIFF decode + thread fan-out (native/); int16
-                    # wire format decodes straight into the output buffer
-                    # (no float32 intermediate / GIL-bound conversion)
-                    paths = cpaths + apaths + bpaths
-                    load = (native.load_batch_i16 if want_i16
-                            else native.load_batch)
-                    wire = np.int16 if want_i16 else np.float32
-                    buf, lens_all, pks = load(paths, L, fs, num_threads=2)
-                    clean, na = buf[:B], buf[B:2 * B]
-                    nb = (buf[2 * B:] if self.two_noise
-                          else np.zeros((B, L), wire))
-                    lc, la = lens_all[:B], lens_all[B:2 * B]
-                    lb = (lens_all[2 * B:] if self.two_noise
-                          else np.zeros((B,), np.int32))
-                    peaks[:, 0], peaks[:, 1] = pks[:B], pks[B:2 * B]
-                    if self.two_noise:
-                        peaks[:, 2] = pks[2 * B:]
-                else:
-                    clean = np.zeros((B, L), np.float32)
-                    na = np.zeros((B, L), np.float32)
-                    nb = np.zeros((B, L), np.float32)
-                    lc = np.zeros((B,), np.int32)
-                    la = np.zeros((B,), np.int32)
-                    lb = np.zeros((B,), np.int32)
-                    for b in range(B):
-                        x, n, peaks[b, 0] = _decode(cpaths[b], L)
-                        clean[b, :n] = x
-                        lc[b] = n
-                        x, n, peaks[b, 1] = _decode(apaths[b], L)
-                        na[b, :n] = x
-                        la[b] = n
-                        if self.two_noise:
-                            x, n, peaks[b, 2] = _decode(bpaths[b], L)
-                            nb[b, :n] = x
-                            lb[b] = n
+                wire = np.int16 if want_i16 else np.float32
+                paths = cpaths + apaths + bpaths
 
-                # Trim the batch to its clean-length bucket: noise beyond
-                # the clean length is never used (the reference truncates
+                local = {}
+                missing = sorted({p for p in paths if p not in self._cache})
+                if missing:
+                    if use_native:
+                        # C++ RIFF decode + thread fan-out (native/); int16
+                        # wire format decodes straight into the output
+                        # buffer (no float32 intermediate / GIL-bound
+                        # conversion)
+                        load = (native.load_batch_i16 if want_i16
+                                else native.load_batch)
+                        mbuf, mlens, mpks = load(missing, L, fs,
+                                                 num_threads=2)
+                        for j, p in enumerate(missing):
+                            n = int(mlens[j])
+                            local[p] = (mbuf[j, :n].copy(), n,
+                                        float(mpks[j]))
+                    else:
+                        for p in missing:
+                            x, n, pk = _decode(p, L)
+                            if want_i16:
+                                x = np.rint(x).astype(np.int16)
+                            local[p] = (np.ascontiguousarray(x[:n]), n, pk)
+                    if self._cache_budget:
+                        with self._cache_lock:
+                            for p, rec in local.items():
+                                sz = rec[0].nbytes
+                                if (p in self._cache or
+                                        self._cache_bytes + sz >
+                                        self._cache_budget):
+                                    continue
+                                self._cache[p] = rec
+                                self._cache_bytes += sz
+
+                def rec(p):
+                    return self._cache.get(p) or local[p]
+
+                # Batch rides its clean-length bucket: noise beyond the
+                # clean length is never used (the reference truncates
                 # noise to len(clean), reader.py:140-144), so all three
-                # buffers ride the same bucket on the wire.
-                longest = int(max(lc.max(), 1))
+                # buffers share the bucket on the wire.
+                longest = max((rec(p)[1] for p in cpaths), default=1)
                 bucket = L
                 for sec in sorted(self.cfg.data.length_buckets):
                     bs = min(int(sec * fs), L)
                     if bs >= longest:
                         bucket = bs
                         break
-                if bucket < L:
-                    clean = np.ascontiguousarray(clean[:, :bucket])
-                    na = np.ascontiguousarray(na[:, :bucket])
-                    nb = np.ascontiguousarray(nb[:, :bucket])
-                    la = np.minimum(la, bucket)
-                    lb = np.minimum(lb, bucket)
-                if want_i16 and clean.dtype != np.int16:
-                    clean = np.rint(clean).astype(np.int16)
-                    na = np.rint(na).astype(np.int16)
-                    nb = np.rint(nb).astype(np.int16)
+
+                def fill(dst, lens, col, plist):
+                    for b, p in enumerate(plist):
+                        x, n, pk = rec(p)
+                        n = min(n, bucket)
+                        dst[b, :n] = x[:n]
+                        lens[b] = n
+                        peaks[b, col] = pk
+
+                clean = np.zeros((B, bucket), wire)
+                na = np.zeros((B, bucket), wire)
+                nb = np.zeros((B, bucket), wire)
+                lc = np.zeros((B,), np.int32)
+                la = np.zeros((B,), np.int32)
+                lb = np.zeros((B,), np.int32)
+                fill(clean, lc, 0, cpaths)
+                fill(na, la, 1, apaths)
+                if self.two_noise:
+                    fill(nb, lb, 2, bpaths)
                 batch = {"clean": clean, "noise_a": na, "noise_b": nb,
                          "clean_len": lc, "len_a": la, "len_b": lb,
                          "peaks": peaks}
