@@ -80,7 +80,14 @@ def load_variables(path: str, template: Any = None) -> Any:
     ckptr = ocp.StandardCheckpointer()
     try:
         if template is not None:
-            out = ckptr.restore(path, target=template)
+            try:
+                out = ckptr.restore(path, target=template)
+            except ValueError:
+                # a full TRAIN-state checkpoint (params/batch_stats/
+                # opt_state/...): raw-restore and keep the template's
+                # sub-trees (inference needs params + batch_stats only)
+                raw = ckptr.restore(path)
+                out = {k: raw[k] for k in template}
         else:
             out = ckptr.restore(path)
     finally:
