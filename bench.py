@@ -96,9 +96,14 @@ def bench_suite(args) -> None:
     from nhans_tpu.models import init_variables
     from nhans_tpu.utils import wavio
 
-    aex = "/root/reference/N_HANS___Selective_Noise/audio_examples"
-    ss_aex = "/root/reference/N_HANS___Source_Separation/audio_examples"
-    demo = "/root/reference/DEMO_N-HANS/denoising"
+    ref = args.reference_root
+    aex = os.path.join(ref, "N_HANS___Selective_Noise", "audio_examples")
+    ss_aex = os.path.join(ref, "N_HANS___Source_Separation",
+                          "audio_examples")
+    demo = os.path.join(ref, "DEMO_N-HANS", "denoising")
+    if not os.path.isdir(aex):
+        raise SystemExit(f"--mode suite needs the reference audio at "
+                         f"{ref} (set --reference_root)")
 
     def rd(path):
         return wavio.read_for_processing(path)
@@ -158,6 +163,9 @@ def bench_suite(args) -> None:
         "metric": "suite_min_rtf_single_call",
         "value": min(configs.values()),
         "unit": "x_realtime",
+        "baseline": 1.0,
+        "baseline_name": "interactive real-time (1x)",
+        "regime": "single_call",
         "vs_baseline": round(min(configs.values()) / 1.0, 3),
         "configs": configs,
     }))
@@ -181,6 +189,12 @@ def main() -> None:
     p.add_argument("--window_chunk", type=int, default=2048)
     p.add_argument("--dtype", default="float32",
                    choices=("float32", "bfloat16"))
+    p.add_argument("--reference_root", default="/root/reference",
+                   help="root of the reference checkout (real audio for "
+                        "--mode suite and the real-audio default batch)")
+    p.add_argument("--synthetic", action="store_true", default=False,
+                   help="use Gaussian-noise inputs for --mode infer "
+                        "instead of real reference audio")
     args = p.parse_args()
 
     if args.mode == "train":
@@ -206,9 +220,32 @@ def main() -> None:
     fs = cfg.audio.sample_rate
     n = int(args.seconds * fs)
     rng = np.random.default_rng(0)
-    mixed = [rng.standard_normal(n) * 2000 for _ in range(args.batch)]
-    pos = [np.zeros(fs)] * args.batch           # silence positive context
-    neg = [rng.standard_normal(fs * 3) * 800 for _ in range(args.batch)]
+    demo = os.path.join(args.reference_root, "DEMO_N-HANS", "denoising")
+    if not args.synthetic and os.path.isdir(demo):
+        # real-audio batch: the 7 DEMO denoising mixed wavs looped/trimmed
+        # to the bench length, tiled round-robin to fill the batch; each
+        # keeps its own real negNoise suppression context
+        from nhans_tpu.utils import wavio as _wavio
+        src = []
+        for ex in sorted(os.listdir(demo)):
+            d = os.path.join(demo, ex)
+            if not os.path.isdir(d):
+                continue
+            files = {f.split("_")[-1]: os.path.join(d, f)
+                     for f in os.listdir(d)}
+            m = _wavio.read_for_processing(files["mixed.wav"])
+            g = _wavio.read_for_processing(files["negNoise.wav"])
+            reps = -(-n // max(len(m), 1))
+            src.append((np.tile(m, reps)[:n], g))
+        mixed = [src[i % len(src)][0] for i in range(args.batch)]
+        neg = [src[i % len(src)][1] for i in range(args.batch)]
+        pos = [np.zeros(fs)] * args.batch       # Silent positive context
+        audio_source = "demo7_real"
+    else:
+        mixed = [rng.standard_normal(n) * 2000 for _ in range(args.batch)]
+        pos = [np.zeros(fs)] * args.batch       # silence positive context
+        neg = [rng.standard_normal(fs * 3) * 800 for _ in range(args.batch)]
+        audio_source = "synthetic"
 
     # warmup (compile)
     out = enh.enhance_batch(mixed, pos, neg)
@@ -229,6 +266,7 @@ def main() -> None:
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 50.0, 3),
+        "audio_source": audio_source,
     }))
 
 

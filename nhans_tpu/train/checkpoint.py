@@ -82,11 +82,16 @@ def load_variables(path: str, template: Any = None) -> Any:
         if template is not None:
             try:
                 out = ckptr.restore(path, target=template)
-            except ValueError:
+            except ValueError as restore_err:
                 # a full TRAIN-state checkpoint (params/batch_stats/
                 # opt_state/...): raw-restore and keep the template's
                 # sub-trees (inference needs params + batch_stats only)
                 raw = ckptr.restore(path)
+                if not set(template) <= set(raw):
+                    raise ValueError(
+                        f"checkpoint at {path} is missing keys "
+                        f"{sorted(set(template) - set(raw))}; original "
+                        f"restore error: {restore_err}") from restore_err
                 out = {k: raw[k] for k in template}
         else:
             out = ckptr.restore(path)

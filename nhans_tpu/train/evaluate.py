@@ -244,11 +244,12 @@ class Evaluator:
                 if p is not None:
                     pesq_out.append(p)
                 if wav_dump_folder:
+                    stem = (lambda p:
+                            os.path.splitext(os.path.basename(p))[0])
                     names = {
-                        "clean": os.path.basename(ex["cleanpath"])[:-4],
-                        "a": os.path.basename(ex["path_a"])[:-4],
-                        "b": (os.path.basename(ex["path_b"])[:-4]
-                              if ex["path_b"] else "none"),
+                        "clean": stem(ex["cleanpath"]),
+                        "a": stem(ex["path_a"]),
+                        "b": stem(ex["path_b"]) if ex["path_b"] else "none",
                     }
                     for kind, w in host_wavs.items():
                         fname = (f"{modelname}_{step}_{names['clean']}_"

@@ -78,14 +78,17 @@ def _speed_perturb(src_dir, factors=(0.9, 1.1)):
     resample by 10/9 and 10/11 (tempo+pitch shift), written alongside the
     originals.  Standard small-corpus augmentation; applied at corpus
     build so the training pipeline itself stays reference-faithful."""
+    from fractions import Fraction
+
     from scipy.signal import resample_poly
     for f in sorted(os.listdir(src_dir)):
         if not f.endswith(".wav"):
             continue
         rate, x = wavfile.read(os.path.join(src_dir, f))
         for fac in factors:
-            # speed f => duration x 1/f => resample by (10, 10*f)
-            up, dn = (10, 9) if fac < 1.0 else (10, 11)
+            # speed fac => duration x 1/fac => resample by 1/fac
+            frac = Fraction(1.0 / fac).limit_denominator(100)
+            up, dn = frac.numerator, frac.denominator
             y = resample_poly(x.astype(np.float64), up, dn)
             y = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
             tag = str(fac).replace(".", "")

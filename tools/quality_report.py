@@ -57,6 +57,12 @@ def validate_table(records):
              "| gain | SI-SDR golden→target | STOI ours | STOI golden |",
              "|---|---|---|---|---|---|---|"]
     for r in records:
+        # target-less examples (separator/selective dumps without a
+        # target.wav) carry no SI-SDR fields — dash-fill instead of KeyError
+        if r.get("si_sdr_mixed") is None or r.get("si_sdr_ours") is None:
+            lines.append("| {name} | — | — | — | — | — | — |".format(
+                name=r.get("example", "?")))
+            continue
         lines.append(
             "| {name} | {mix:.2f} | {ours:.2f} | {gain:+.2f} | {gold} "
             "| {stoi_ours} | {stoi_gold} |".format(
@@ -69,16 +75,22 @@ def validate_table(records):
                 if r.get("stoi_ours") is not None else "—",
                 stoi_gold=("%.3f" % r["stoi_golden"])
                 if r.get("stoi_golden") is not None else "—"))
-    if records:
+    scored = [r for r in records if r.get("si_sdr_mixed") is not None
+              and r.get("si_sdr_ours") is not None]
+    if scored:
         import numpy as np
-        mean = lambda k: float(np.mean(  # noqa: E731
-            [r[k] for r in records if r.get(k) is not None]))
+
+        def mean(k):
+            vals = [r[k] for r in scored if r.get(k) is not None]
+            return float(np.mean(vals)) if vals else None
+
+        gold = mean("si_sdr_golden")
         lines.append(
             "| **mean** | **{:.2f}** | **{:.2f}** | **{:+.2f}** "
-            "| **{:.2f}** | | |".format(
+            "| **{}** | | |".format(
                 mean("si_sdr_mixed"), mean("si_sdr_ours"),
                 mean("si_sdr_ours") - mean("si_sdr_mixed"),
-                mean("si_sdr_golden")))
+                ("%.2f" % gold) if gold is not None else "—"))
     return "\n".join(lines)
 
 
