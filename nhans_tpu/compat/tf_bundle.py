@@ -213,3 +213,81 @@ class TFBundleReader:
                 f"{e.size} bytes at {e.offset}, got {len(raw)})")
         arr = np.frombuffer(raw, dtype=e.dtype)
         return arr.reshape(e.shape)
+
+
+# ---------------------------------------------------------------------- #
+# Writer: emit a single-shard TF tensor bundle (the tf.train.Saver v2
+# on-disk format the reader above parses).  Used by the full-checkpoint
+# import round-trip test — the reference's shipped payloads are
+# LFS-stripped (.MISSING_LARGE_BLOBS), so end-to-end import can only be
+# proven against a synthetically written bundle with the REAL index's
+# names/shapes — and usable to export trained weights TF-side.
+
+def _varint_enc(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out += bytes([b | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _proto_bytes(field: int, payload: bytes) -> bytes:
+    return _varint_enc((field << 3) | 2) + _varint_enc(len(payload)) + payload
+
+
+def _proto_varint(field: int, v: int) -> bytes:
+    return _varint_enc(field << 3) + _varint_enc(v)
+
+
+_NP_TO_TF = {np.dtype(np.float32): 1, np.dtype(np.float64): 2,
+             np.dtype(np.int32): 3, np.dtype(np.int64): 9}
+
+
+def _block(entries) -> bytes:
+    """leveldb block: entries with no prefix compression + one restart."""
+    body = b""
+    for key, val in entries:
+        body += (_varint_enc(0) + _varint_enc(len(key))
+                 + _varint_enc(len(val)) + key + val)
+    body += struct.pack("<I", 0) + struct.pack("<I", 1)
+    return body
+
+
+def write_bundle(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
+    """Write ``tensors`` as ``<prefix>.index`` + ``.data-00000-of-00001``.
+
+    Keys are written in sorted order (table invariant); payloads are laid
+    out sequentially in the single data shard."""
+    names = sorted(tensors)
+    payload = b""
+    entries = []
+    for name in names:
+        arr = np.ascontiguousarray(tensors[name])
+        dt = _NP_TO_TF.get(arr.dtype)
+        if dt is None:
+            raise ValueError(f"{name}: unsupported dtype {arr.dtype}")
+        shape = b"".join(_proto_bytes(2, _proto_varint(1, d))
+                         for d in arr.shape)
+        entry = (_proto_varint(1, dt) + _proto_bytes(2, shape)
+                 + _proto_varint(3, 0) + _proto_varint(4, len(payload))
+                 + _proto_varint(5, arr.nbytes))
+        entries.append((name.encode(), entry))
+        payload += arr.tobytes()
+
+    data_block = _block(entries)
+    out = data_block + b"\x00" + struct.pack("<I", 0)
+    handle = _varint_enc(0) + _varint_enc(len(data_block))
+    index_block = _block([(names[-1].encode() if names else b"",
+                           handle)])
+    index_off = len(out)
+    out += index_block + b"\x00" + struct.pack("<I", 0)
+    footer = (_varint_enc(0) + _varint_enc(0)
+              + _varint_enc(index_off) + _varint_enc(len(index_block)))
+    footer += b"\x00" * (40 - len(footer))
+    footer += struct.pack("<Q", _TABLE_MAGIC)
+    with open(prefix + ".index", "wb") as f:
+        f.write(out + footer)
+    with open(prefix + ".data-00000-of-00001", "wb") as f:
+        f.write(payload)

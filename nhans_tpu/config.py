@@ -160,6 +160,22 @@ class DataConfig:
     # hosts); large corpora simply overflow the budget and keep
     # decoding.  0 disables.
     decode_cache_mb: int = 512
+    # Train-time SNR-range extension: append {12, 18, 30} dB to the
+    # task's SNR set for TRAINING mixtures only (eval keeps the
+    # reference's md5-deterministic draws from the base set).  OFF by
+    # default (reference parity).  High-SNR/near-clean mixtures teach
+    # the model to pass already-clean input through — the published
+    # model learns this from corpus scale; small corpora need it
+    # explicitly (docs/QUALITY.md over-suppression analysis).
+    snr_augment: bool = False
+    # Device-resident corpus banks: decode the WHOLE training corpus to
+    # HBM once and transfer only int32 index triples per step (~10^6x
+    # fewer host->device bytes than waveform batches; also removes the
+    # host decode from the hot loop entirely).  "auto" enables it when
+    # the corpus fits ``device_corpus_mb`` and the run is single-host;
+    # "on" forces (errors if it cannot apply), "off" streams waveforms.
+    device_corpus: str = "auto"
+    device_corpus_mb: int = 512
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,6 +199,10 @@ class TrainConfig:
     wav_dump_folder: str = "./wav_dump/"
     eval_before_training: bool = False
     eval_after_training: bool = True
+    # Optional lr schedule (constant = reference parity)
+    lr_schedule: str = "constant"  # constant | cosine
+    lr_decay_steps: int = 0        # cosine horizon (0 = disabled)
+    lr_min_frac: float = 0.1       # final lr as a fraction of --lr
     # TPU-specific
     data_axis: int = 0             # mesh data-parallel axis size; 0 = all devices
     donate_state: bool = True
@@ -265,6 +285,13 @@ def add_reference_flags(parser, *, inference: bool = False,
     parser.add_argument("--decode_cache_mb", type=int, default=512,
                         help="in-memory decoded-file cache budget for "
                              "the train loader (0 disables)")
+    parser.add_argument("--device_corpus", default="auto",
+                        choices=("auto", "on", "off"),
+                        help="keep the whole training corpus in device "
+                             "HBM and transfer only per-step indices "
+                             "(auto: when it fits --device_corpus_mb on "
+                             "a single host)")
+    parser.add_argument("--device_corpus_mb", type=int, default=512)
     parser.add_argument("--eval_seeds", default="valid")
     parser.add_argument("--wav_dump_folder", default="./wav_dump/")
     parser.add_argument("--speech_wav_dir", default="./speech_wav_dir/")
@@ -286,6 +313,18 @@ def add_reference_flags(parser, *, inference: bool = False,
         parser.add_argument("--batches", type=int, default=3000000)
         parser.add_argument("--alg", default="sgd")
         parser.add_argument("--lr", type=float, default=0.001)
+        parser.add_argument("--lr_schedule", default="constant",
+                            choices=("constant", "cosine"))
+        parser.add_argument("--lr_decay_steps", type=int, default=0,
+                            help="cosine decay horizon in steps "
+                                 "(0 disables; lr decays to "
+                                 "lr*lr_min_frac)")
+        parser.add_argument("--lr_min_frac", type=float, default=0.1)
+        parser.add_argument("--snr_augment", action="store_true",
+                            default=False,
+                            help="extend TRAIN mixing SNRs with "
+                                 "{12,18,30} dB (near-clean inputs; "
+                                 "eval keeps the reference SNR set)")
         parser.add_argument("--mom", type=float, default=0.0)
         parser.add_argument("--w_std", type=float, default=0.01)
         parser.add_argument("--b_init", type=float, default=0.0)
@@ -315,10 +354,16 @@ def config_from_args(args, task: str = "denoiser") -> Config:
         slices_per_step=getattr(args, "slices_per_step", 4),
         augment_noise=getattr(args, "augment_noise", False),
         decode_cache_mb=getattr(args, "decode_cache_mb", 512),
+        device_corpus=getattr(args, "device_corpus", "auto"),
+        device_corpus_mb=getattr(args, "device_corpus_mb", 512),
+        snr_augment=getattr(args, "snr_augment", False),
     )
     train = TrainConfig(
         alg=getattr(args, "alg", "sgd"),
         lr=getattr(args, "lr", 0.001),
+        lr_schedule=getattr(args, "lr_schedule", "constant"),
+        lr_decay_steps=getattr(args, "lr_decay_steps", 0),
+        lr_min_frac=getattr(args, "lr_min_frac", 0.1),
         mom=getattr(args, "mom", 0.0),
         train_mb=getattr(args, "train_mb", 64),
         eval_mb=getattr(args, "eval_mb", 100),

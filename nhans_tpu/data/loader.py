@@ -216,7 +216,8 @@ class EvalLoader:
     """
 
     def __init__(self, cfg: Config, split: Optional[str] = None,
-                 limit: Optional[int] = None):
+                 limit: Optional[int] = None,
+                 num_workers: Optional[int] = None):
         self.cfg = cfg
         split = split or cfg.data.eval_seeds
         self.speech = load_seeds(cfg.data.speech_wav_dir, split)
@@ -226,8 +227,13 @@ class EvalLoader:
         if limit:
             self.speech = self.speech[:limit]
         self.L = cfg.data.max_samples
+        # decode thread pool: full-split evals (2,521 valid utterances in
+        # the SPL protocol) are host-decode-bound if decoded serially on
+        # the calling thread
+        self.num_workers = (num_workers if num_workers is not None
+                            else min(cfg.data.num_workers, 8))
 
-    def __iter__(self):
+    def _plan(self):
         snrs = self.cfg.task.snr_set
         for i, cpath in enumerate(self.speech):
             if self.two_noise:
@@ -240,17 +246,40 @@ class EvalLoader:
                 bpath = None
                 snr_a = snrs[snr_index_from_path(cpath, len(snrs), 8)]
                 snr_b = 0
-            clean, n_c, pk_c = _decode(cpath, self.L)
-            na, n_a, pk_a = _decode(apath, self.L)
-            nb, n_b, pk_b = (_decode(bpath, self.L) if bpath
-                             else (np.zeros(1, np.float32), 0, 0.0))
-            yield {
-                "clean": clean, "noise_a": na, "noise_b": nb,
-                "clean_len": n_c, "len_a": n_a, "len_b": n_b,
-                "peaks": np.asarray([pk_c, pk_a, pk_b], np.float32),
-                "snr_a": snr_a, "snr_b": snr_b,
-                "cleanpath": cpath, "path_a": apath, "path_b": bpath or "",
-            }
+            yield cpath, apath, bpath, snr_a, snr_b
+
+    def _load(self, item):
+        cpath, apath, bpath, snr_a, snr_b = item
+        clean, n_c, pk_c = _decode(cpath, self.L)
+        na, n_a, pk_a = _decode(apath, self.L)
+        nb, n_b, pk_b = (_decode(bpath, self.L) if bpath
+                         else (np.zeros(1, np.float32), 0, 0.0))
+        return {
+            "clean": clean, "noise_a": na, "noise_b": nb,
+            "clean_len": n_c, "len_a": n_a, "len_b": n_b,
+            "peaks": np.asarray([pk_c, pk_a, pk_b], np.float32),
+            "snr_a": snr_a, "snr_b": snr_b,
+            "cleanpath": cpath, "path_a": apath, "path_b": bpath or "",
+        }
+
+    def __iter__(self):
+        if self.num_workers <= 1:
+            for item in self._plan():
+                yield self._load(item)
+            return
+        # sliding window of in-flight decodes; deterministic order out
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = self.num_workers * 2
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = []
+            plan = self._plan()
+            for item in plan:
+                pending.append(pool.submit(self._load, item))
+                if len(pending) >= depth:
+                    yield pending.pop(0).result()
+            for fut in pending:
+                yield fut.result()
 
 
 def prefetch_to_device(iterator, sharding=None, depth: int = 2):

@@ -40,8 +40,8 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
                      len_b: jnp.ndarray,
                      slices: Optional[int] = None,
                      peaks: Optional[jnp.ndarray] = None,
-                     stft_impl: Optional[str] = None
-                     ) -> Dict[str, jnp.ndarray]:
+                     stft_impl: Optional[str] = None,
+                     mesh=None) -> Dict[str, jnp.ndarray]:
     """Build a training minibatch from raw waveform buffers.
 
     For the denoiser task, ``noise_a``/``noise_b`` are the positive and
@@ -99,9 +99,15 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
     clean = mx.peak_normalize(clean, clean_len, pk(0))
     noise_a = mx.peak_normalize(noise_a, len_a, pk(1))
 
-    snr_set = jnp.asarray(task.snr_set, jnp.float32)
-    snr_a = snr_set[jax.random.randint(k_snr_a, (B,), 0, len(task.snr_set))]
-    snr_b = snr_set[jax.random.randint(k_snr_b, (B,), 0, len(task.snr_set))]
+    snr_vals = list(task.snr_set)
+    if cfg.data.snr_augment:
+        # extended TRAIN-only SNR range: near-clean mixtures teach the
+        # identity mapping on already-clean input (eval keeps the
+        # reference's md5-deterministic base-set draws)
+        snr_vals = snr_vals + [12, 18, 30]
+    snr_set = jnp.asarray(snr_vals, jnp.float32)
+    snr_a = snr_set[jax.random.randint(k_snr_a, (B,), 0, len(snr_vals))]
+    snr_b = snr_set[jax.random.randint(k_snr_b, (B,), 0, len(snr_vals))]
 
     if task.two_noise_mixing:
         noise_b = mx.peak_normalize(noise_b, len_b, pk(2))
@@ -125,10 +131,14 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
     # the Pallas path never computes it)
     impl = sp.resolve_stft_impl(stft_impl if stft_impl is not None
                                 else a.stft_impl)
-    lm_mixed = sp.log_spectrogram(mixed, fl, fs, a.log_eps, impl=impl)
-    lm_target = sp.log_spectrogram(target, fl, fs, a.log_eps, impl=impl)
-    lm_ctx_a = sp.log_spectrogram(ctx_src_a, fl, fs, a.log_eps, impl=impl)
-    lm_ctx_b = sp.log_spectrogram(ctx_src_b, fl, fs, a.log_eps, impl=impl)
+    lm_mixed = sp.log_spectrogram(mixed, fl, fs, a.log_eps, impl=impl,
+                                  mesh=mesh)
+    lm_target = sp.log_spectrogram(target, fl, fs, a.log_eps, impl=impl,
+                                   mesh=mesh)
+    lm_ctx_a = sp.log_spectrogram(ctx_src_a, fl, fs, a.log_eps, impl=impl,
+                                  mesh=mesh)
+    lm_ctx_b = sp.log_spectrogram(ctx_src_b, fl, fs, a.log_eps, impl=impl,
+                                  mesh=mesh)
     F = lm_mixed.shape[1]
     nf = _valid_frames(clean_len, fl, fs)                     # [B]
     nf_ctx_a = _valid_frames(ctx_len_a, fl, fs)

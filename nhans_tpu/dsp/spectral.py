@@ -194,17 +194,37 @@ def spectrogram_reim(x: jnp.ndarray, frame_length: int = 400,
 
 def log_spectrogram(x: jnp.ndarray, frame_length: int = 400,
                     frame_step: int = 160, eps: float = 1e-5,
-                    method: str = "matmul", impl: str = "xla"
-                    ) -> jnp.ndarray:
+                    method: str = "matmul", impl: str = "xla",
+                    mesh=None, interpret: bool = False) -> jnp.ndarray:
     """Log-magnitude only (no phase) — what the training pipeline and the
     context encoders consume.  On the Pallas path this skips the arctan2
-    entirely."""
+    entirely.
+
+    ``mesh``: under a >1-device mesh, ``pallas_call`` has no SPMD
+    partitioning rule, so the kernel is wrapped in ``shard_map`` over the
+    ``data`` axis — utterance rows are embarrassingly parallel, each
+    device runs the kernel on its local shard and the numerics are
+    identical to the unsharded call (tests/test_pallas_ops.py)."""
     if resolve_stft_impl(impl) == "pallas" and _pallas_ok(
             x, frame_length, frame_step):
         from nhans_tpu.ops.stft_pallas import pallas_log_spectrogram
         x2 = x[None] if x.ndim == 1 else x
-        lm = pallas_log_spectrogram(
-            x2.astype(jnp.float32), frame_length, frame_step, eps)
+
+        def run(xs):
+            return pallas_log_spectrogram(
+                xs.astype(jnp.float32), frame_length, frame_step, eps,
+                interpret=interpret)
+
+        if mesh is not None and mesh.size > 1 and x2.ndim == 2:
+            from jax.sharding import PartitionSpec as P
+            # check_vma=False: pallas_call's out ShapeDtypeStruct carries
+            # no varying-mesh-axes metadata, and per-shard independence
+            # is structural here (each row is one utterance)
+            run = jax.shard_map(run, mesh=mesh,
+                                in_specs=P("data"),
+                                out_specs=P("data"),
+                                check_vma=False)
+        lm = run(x2)
         return lm[0] if x.ndim == 1 else lm
     re, im = stft(x, frame_length, frame_step, method)
     return jnp.log(jnp.sqrt(re * re + im * im) + eps)

@@ -58,7 +58,11 @@ class Enhancer:
                  out_wire: str = "int16"):
         self.cfg = cfg
         self.model = NHANSNet(cfg.model)
-        self.variables = variables
+        # pin parameters to the device ONCE: checkpoint loads hand back
+        # host numpy, and passing that to jit re-transfers ~40 MB of
+        # params on EVERY call (the dominant single-call latency cost on
+        # remote-attached chips)
+        self.variables = jax.device_put(variables)
         self.window_chunk = int(window_chunk)
         self.buckets = [int(s * cfg.audio.sample_rate) for s in buckets_seconds]
         self.out_wire = out_wire
@@ -83,15 +87,21 @@ class Enhancer:
 
         pad_before, pad_after = ((W + 1) // 2) - 1, W // 2
 
-        def program(variables, mixed, pos, neg, n_mixed, n_pos, n_neg,
-                    peaks, keep_from, keep_until):
+        def program(variables, mixed, ctx, ints, peaks):
             # mixed: [B, L] int16 RAW samples (normalization happens here,
             # with host-computed whole-file peaks [B, 3], halving the
-            # host->device wire); pos/neg: [B, ctx_n]; n_*: valid lengths.
-            # keep_from/keep_until [B]: only frames in [keep_from,
+            # host->device wire); ctx: [B, 2, ctx_n] packed pos/neg
+            # context buffers; ints: [B, 5] int32 = (n_mixed, n_pos,
+            # n_neg, keep_from, keep_until).  Args are PACKED because on
+            # remote-attached chips every array transfer is an RPC round
+            # trip — 4 H2D transfers instead of 9.
+            # keep_from/keep_until: only frames in [keep_from,
             # min(keep_until, nf)) contribute to the reconstruction — used
             # by the segmented long-audio path to excise halo frames.
             B = mixed.shape[0]
+            pos, neg = ctx[:, 0], ctx[:, 1]
+            n_mixed, n_pos, n_neg = ints[:, 0], ints[:, 1], ints[:, 2]
+            keep_from, keep_until = ints[:, 3], ints[:, 4]
             mixed = mixed.astype(jnp.float32) / (peaks[:, 0:1] + 1e-6)
             pos = pos.astype(jnp.float32) / (peaks[:, 1:2] + 1e-6)
             neg = neg.astype(jnp.float32) / (peaks[:, 2:3] + 1e-6)
@@ -176,6 +186,9 @@ class Enhancer:
             # `removed` itself is NOT returned: the host derives it as
             # mixed_processed - denoised, saving a third of the
             # device->host transfer.
+            # outputs are packed the same way: ONE waveform array
+            # [B, 2, L] + one [B, 3] meta row (scale, snr_est, n_out) —
+            # 2 D2H transfers instead of 5
             if self.out_wire == "int16":
                 # per-wav scale to int16 on device: the D2H wire is the
                 # bottleneck on remote-attached chips, and int16 is the
@@ -185,9 +198,14 @@ class Enhancer:
                     jnp.max(jnp.abs(mixo), axis=-1))              # [B]
                 scale = 32766.0 / jnp.maximum(amax, 1e-9)
                 q = lambda x: jnp.rint(x * scale[:, None]).astype(jnp.int16)
-                return (q(den), q(mixo), scale, snr_est, n_out)
-            ones = jnp.ones((B,), den.dtype)
-            return (den, mixo, ones, snr_est, n_out)
+                wavs = jnp.stack([q(den), q(mixo)], axis=1)
+            else:
+                scale = jnp.ones((B,), den.dtype)
+                wavs = jnp.stack([den, mixo], axis=1)
+            meta = jnp.stack([scale.astype(jnp.float32),
+                              snr_est.astype(jnp.float32),
+                              n_out.astype(jnp.float32)], axis=1)
+            return wavs, meta
 
         return jax.jit(program)
 
@@ -235,35 +253,34 @@ class Enhancer:
             mixed[i, :n] = x
             peaks[i, 0] = pk
 
-        def ctx_buf(waves, col):
-            buf = np.zeros((B, ctx_n), np.int16)
-            lens = np.zeros((B,), np.int32)
+        ctx = np.zeros((B, 2, ctx_n), np.int16)
+        ints = np.zeros((B, 5), np.int32)
+        ints[:, 0] = n_mixed
+        for col, waves in ((0, pos_list), (1, neg_list)):
             for i, w in enumerate(waves):
-                peaks[i, col] = np.max(np.abs(w)) if len(w) else 0.0
+                peaks[i, col + 1] = np.max(np.abs(w)) if len(w) else 0.0
                 n = min(len(w), ctx_n)
-                buf[i, :n] = np.rint(w[:n]).astype(np.int16)
-                lens[i] = n
-            return buf, lens
-
-        pos, n_pos = ctx_buf(pos_list, 1)
-        neg, n_neg = ctx_buf(neg_list, 2)
+                ctx[i, col, :n] = np.rint(w[:n]).astype(np.int16)
+                ints[i, col + 1] = n
 
         F = sp.num_frames(bucket, self.cfg.audio.frame_length,
                           self.cfg.audio.frame_step)
-        outs = program(
-            self.variables, jnp.asarray(mixed), jnp.asarray(pos),
-            jnp.asarray(neg), jnp.asarray(n_mixed), jnp.asarray(n_pos),
-            jnp.asarray(n_neg), jnp.asarray(peaks),
-            jnp.zeros((B,), jnp.int32), jnp.full((B,), F, jnp.int32))
+        ints[:, 3] = 0
+        ints[:, 4] = F
+        outs = program(self.variables, jnp.asarray(mixed),
+                       jnp.asarray(ctx), jnp.asarray(ints),
+                       jnp.asarray(peaks))
         return outs, nreal
 
     @staticmethod
     def _materialize(outs, nreal) -> Dict[str, list]:
-        den, mix, scale, snr, n_out = outs
-        den, mix = np.asarray(den), np.asarray(mix)
-        n_out = np.asarray(n_out)
+        wavs, meta = outs
+        wavs, meta = np.asarray(wavs), np.asarray(meta)
+        den, mix = wavs[:, 0], wavs[:, 1]
+        scale, snr = meta[:, 0], meta[:, 1]
+        n_out = meta[:, 2].astype(np.int64)
         if den.dtype == np.int16:  # undo the wire quantization scale
-            inv = (1.0 / np.asarray(scale)).astype(np.float32)
+            inv = (1.0 / scale).astype(np.float32)
             den = den.astype(np.float32) * inv[:, None]
             mix = mix.astype(np.float32) * inv[:, None]
         return {
@@ -271,7 +288,7 @@ class Enhancer:
             "mixed_processed": [mix[i, :n_out[i]] for i in range(nreal)],
             "removed": [mix[i, :n_out[i]] - den[i, :n_out[i]]
                         for i in range(nreal)],
-            "snr_est": np.asarray(snr)[:nreal],
+            "snr_est": snr[:nreal],
         }
 
     def enhance_batch(self, mixed_list, pos_list, neg_list) -> Dict[str, list]:
@@ -347,18 +364,20 @@ class Enhancer:
                 keep_until[j] = h_l + (c1 - c0)
                 offsets[j] = s0
             # padded rows keep nothing (keep_until == keep_from == 0)
-            den, mix, scale, _snr, _n_out = program(
-                self.variables, jnp.asarray(seg),
-                jnp.asarray(np.tile(pos_b, (B, 1))),
-                jnp.asarray(np.tile(neg_b, (B, 1))),
-                jnp.asarray(n_seg),
-                jnp.full((B,), n_pos, np.int32),
-                jnp.full((B,), n_neg, np.int32),
-                jnp.asarray(peaks),
-                jnp.asarray(keep_from), jnp.asarray(keep_until))
-            den, mix = np.asarray(den), np.asarray(mix)
+            ctx = np.zeros((B, 2, ctx_n), np.int16)
+            ctx[:, 0] = pos_b
+            ctx[:, 1] = neg_b
+            ints = np.stack([n_seg, np.full((B,), n_pos, np.int32),
+                             np.full((B,), n_neg, np.int32),
+                             keep_from, keep_until], axis=1)
+            wavs, meta = program(self.variables, jnp.asarray(seg),
+                                 jnp.asarray(ctx),
+                                 jnp.asarray(ints.astype(np.int32)),
+                                 jnp.asarray(peaks))
+            wavs, meta = np.asarray(wavs), np.asarray(meta)
+            den, mix = wavs[:, 0], wavs[:, 1]
             if den.dtype == np.int16:
-                inv = (1.0 / np.asarray(scale)).astype(np.float32)
+                inv = (1.0 / meta[:, 0]).astype(np.float32)
                 den = den.astype(np.float32) * inv[:, None]
                 mix = mix.astype(np.float32) * inv[:, None]
             for j in range(len(group)):

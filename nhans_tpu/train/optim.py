@@ -6,7 +6,25 @@ from __future__ import annotations
 import optax
 
 
-def make_optimizer(alg: str, lr: float, mom: float = 0.0):
+def make_schedule(lr: float, schedule: str = "constant",
+                  decay_steps: int = 0, lr_min_frac: float = 0.1):
+    """Optional learning-rate schedule.
+
+    ``constant`` matches the reference (fixed --lr for the whole run,
+    reference main.py:405-416).  ``cosine`` decays lr -> lr*lr_min_frac
+    over ``decay_steps`` (then holds) — the standard small-data recipe
+    that replaces the manual mid-run lr drop the round-1 quality runs
+    needed (docs/QUALITY.md).
+    """
+    if schedule == "constant" or not decay_steps:
+        return lr
+    if schedule == "cosine":
+        return optax.cosine_decay_schedule(
+            lr, decay_steps=decay_steps, alpha=lr_min_frac)
+    raise ValueError(f"unknown lr schedule {schedule!r}")
+
+
+def make_optimizer(alg: str, lr, mom: float = 0.0):
     """sgd / momentum / rmsprop / adadelta / adagrad / adam
     (reference main.py:405-416).  Hyper-parameters mirror the TF1 defaults:
 

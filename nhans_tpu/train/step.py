@@ -34,7 +34,10 @@ class TrainState(struct.PyTreeNode):
 
 def create_state(cfg: Config, rng: jax.Array) -> Tuple[NHANSNet, TrainState, Any]:
     model, variables = init_variables(cfg, rng, train=True)
-    tx = make_optimizer(cfg.train.alg, cfg.train.lr, cfg.train.mom)
+    from nhans_tpu.train.optim import make_schedule
+    lr = make_schedule(cfg.train.lr, cfg.train.lr_schedule,
+                       cfg.train.lr_decay_steps, cfg.train.lr_min_frac)
+    tx = make_optimizer(cfg.train.alg, lr, cfg.train.mom)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -56,11 +59,18 @@ def param_counts(state: TrainState) -> Tuple[int, int]:
 def make_train_step(cfg: Config, model: NHANSNet, tx,
                     mesh=None, donate: bool = True,
                     state: "TrainState" = None,
-                    use_model_axis: bool = False):
+                    use_model_axis: bool = False,
+                    banked: bool = False):
     """Build the jitted train step.
 
     Signature: (state, raw_batch, key) -> (state, metrics) where raw_batch
     holds clean/noise_a/noise_b [B, L] waveform buffers + lengths.
+
+    With ``banked=True`` the signature becomes
+    (state, banks, idx_batch, key): ``banks`` are device-resident corpus
+    arrays (data/banks.py) and ``idx_batch`` holds int32 index triples;
+    the waveform rows are gathered ON DEVICE — the per-step host->device
+    transfer is ~100 bytes.
 
     ``use_model_axis`` shards wide kernels' output channels over the
     mesh's ``model`` axis (tensor parallelism; parallel/sharding_rules) —
@@ -70,22 +80,22 @@ def make_train_step(cfg: Config, model: NHANSNet, tx,
     tests/test_sharding.py::test_model_axis_end_to_end).
     """
     W = cfg.model.window_frames
-    # The fused Pallas spectrogram is used on single-device programs; under
-    # a >1-device mesh the batch axis is pjit-partitioned and pallas_call
-    # has no SPMD partitioning rule, so resolve to the XLA formulation
-    # there (identical numerics, tests/test_pallas_ops.py).
+    # The fused Pallas spectrogram stays live under a >1-device mesh:
+    # dsp/spectral.py wraps pallas_call in shard_map over the data axis
+    # (utterance rows are embarrassingly parallel), so the flagship
+    # kernel runs in the multi-chip training path with identical
+    # numerics (tests/test_pallas_ops.py).
     from nhans_tpu.dsp.spectral import resolve_stft_impl
     stft_impl = resolve_stft_impl(cfg.audio.stft_impl)
-    if mesh is not None and mesh.size > 1:
-        stft_impl = "xla"
+    stft_mesh = mesh if (mesh is not None and mesh.size > 1) else None
 
-    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
-                key: jax.Array):
+    def _core(state: TrainState, batch: Dict[str, jnp.ndarray],
+              key: jax.Array):
         ex = make_train_batch(cfg, key, batch["clean"], batch["noise_a"],
                               batch["noise_b"], batch["clean_len"],
                               batch["len_a"], batch["len_b"],
                               peaks=batch.get("peaks"),
-                              stft_impl=stft_impl)
+                              stft_impl=stft_impl, mesh=stft_mesh)
 
         def loss_fn(params):
             res, mut = model.apply(
@@ -105,6 +115,26 @@ def make_train_step(cfg: Config, model: NHANSNet, tx,
         gnorm = optax.global_norm(grads)
         return new_state, {"loss": loss, "grad_norm": gnorm}
 
+    if banked:
+        def step_fn(state: TrainState, banks: Dict[str, jnp.ndarray],
+                    idx: Dict[str, jnp.ndarray], key: jax.Array):
+            ci, ai, bi = idx["clean_idx"], idx["a_idx"], idx["b_idx"]
+            batch = {
+                "clean": jnp.take(banks["speech"], ci, axis=0),
+                "noise_a": jnp.take(banks["noise"], ai, axis=0),
+                "noise_b": jnp.take(banks["noise"], bi, axis=0),
+                "clean_len": jnp.take(banks["speech_len"], ci),
+                "len_a": jnp.take(banks["noise_len"], ai),
+                "len_b": jnp.take(banks["noise_len"], bi),
+                "peaks": jnp.stack(
+                    [jnp.take(banks["speech_peak"], ci),
+                     jnp.take(banks["noise_peak"], ai),
+                     jnp.take(banks["noise_peak"], bi)], axis=1),
+            }
+            return _core(state, batch, key)
+    else:
+        step_fn = _core
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -116,9 +146,11 @@ def make_train_step(cfg: Config, model: NHANSNet, tx,
             raise ValueError("use_model_axis requires the state template")
         from nhans_tpu.parallel.sharding_rules import state_sharding
         state_sh = state_sharding(mesh, state, use_model_axis=True)
+    in_sh = ((state_sh, repl, data, repl) if banked
+             else (state_sh, data, repl))
     return jax.jit(
         step_fn,
-        in_shardings=(state_sh, data, repl),
+        in_shardings=in_sh,
         out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )

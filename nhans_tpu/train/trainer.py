@@ -41,8 +41,11 @@ class Trainer:
             data=t.data_axis or None)
         self.model, self.state, self.tx = create_state(
             cfg, jax.random.PRNGKey(cfg.data.seed))
+        from nhans_tpu.data.banks import banks_enabled
+        self.banked = banks_enabled(cfg)
         self.step_fn = make_train_step(cfg, self.model, self.tx,
-                                       mesh=self.mesh, donate=t.donate_state)
+                                       mesh=self.mesh, donate=t.donate_state,
+                                       banked=self.banked)
         self.ckpt = Checkpointer(t.checkpoint_dir, t.checkpoints_to_keep,
                                  t.model_name)
         self.evaluator = Evaluator(cfg, self.model, **(eval_kwargs or {}))
@@ -85,13 +88,19 @@ class Trainer:
                 "batch_stats": self.state.batch_stats}
 
     def save_and_eval(self, async_eval: bool = False) -> None:
-        if jax.process_index() != 0:
-            return  # checkpoints + eval are process-0 duties (multi-host)
         t = self.cfg.train
-        print("Saving and restoring the model")
+        if jax.process_index() == 0:
+            print("Saving and restoring the model")
+        # EVERY process participates in the save: Orbax coordinates the
+        # write through jax.distributed barriers, and skipping it on
+        # non-zero processes deadlocks/corrupts multi-host runs.  The
+        # state is fully replicated, so the host snapshot is identical
+        # on every process and Orbax's primary host does the writing.
         snapshot = jax.device_get(self.state)
         self.ckpt.save(self.tstep, snapshot)
         step = self.tstep
+        if jax.process_index() != 0:
+            return  # eval + wav dumps stay process-0 duties
 
         def _eval():
             print("----------------- TEST MONITOR ----------------------")
@@ -123,7 +132,21 @@ class Trainer:
         cfg, t = self.cfg, self.cfg.train
         state_sh = NamedSharding(self.mesh, P())
         self.state = jax.device_put(self.state, state_sh)
-        loader = TrainLoader(cfg, self.local_utts)
+        banks = None
+        if self.banked:
+            # whole corpus -> HBM once; per-step transfer = index triples
+            # (data/banks.py; bounds the axon client's H2D leak to
+            # ~KB/step and removes host decode from the hot loop)
+            from nhans_tpu.data.banks import BankIndexLoader, DeviceBanks
+            dbanks = DeviceBanks(cfg, sharding=state_sh)
+            banks = dbanks.banks
+            print(f"device corpus banks: {len(dbanks.speech_paths)} speech"
+                  f" + {len(dbanks.noise_paths)} noise files, "
+                  f"{dbanks.nbytes >> 20} MB in HBM")
+            loader = BankIndexLoader(dbanks, self.local_utts,
+                                     start_step=self.tstep)
+        else:
+            loader = TrainLoader(cfg, self.local_utts)
         stream = prefetch_to_device(loader, batch_sharding(self.mesh))
         base_key = jax.random.PRNGKey(cfg.data.seed + 17)
 
@@ -149,7 +172,12 @@ class Trainer:
                 batch = next(stream)
                 input_wait = time.perf_counter() - t_in
                 key = jax.random.fold_in(base_key, self.tstep)
-                self.state, metrics = self.step_fn(self.state, batch, key)
+                if self.banked:
+                    self.state, metrics = self.step_fn(
+                        self.state, banks, batch, key)
+                else:
+                    self.state, metrics = self.step_fn(
+                        self.state, batch, key)
                 self.tstep += 1
                 pending.append((metrics, input_wait))
                 if self.tstep % t.train_monitor_every == 0:

@@ -181,16 +181,21 @@ def estoi(est: np.ndarray, ref: np.ndarray, fs: int = 16000) -> float:
 
 
 def pesq_score(est: np.ndarray, ref: np.ndarray, fs: int = 16000):
-    """PESQ (ITU-T P.862) via the optional ``pesq`` package; returns None
-    when unavailable (not baked into this image — STOI/SI-SDR are the
-    always-available metrics)."""
-    try:
-        from pesq import pesq as _pesq
-    except ImportError:
-        return None
+    """PESQ (ITU-T P.862) MOS-LQO.  Prefers the conformant C ``pesq``
+    package when installed; otherwise falls back to the vendored
+    pure-numpy P.862 pipeline (utils/pesq_np.py) so the metric is always
+    reportable (round-1 VERDICT item 8)."""
     est, ref = _align(est, ref)
     mode = "wb" if fs == 16000 else "nb"
     try:
+        from pesq import pesq as _pesq
         return float(_pesq(fs, ref, est, mode))
+    except ImportError:
+        pass
+    except Exception:
+        return None
+    try:
+        from nhans_tpu.utils.pesq_np import pesq_np
+        return pesq_np(fs, ref, est, mode)
     except Exception:
         return None

@@ -61,3 +61,31 @@ def test_spectrogram_impl_dispatch(rng):
     assert sp.resolve_stft_impl("auto") == "xla"
     lm_auto, ph_auto = sp.spectrogram(x, impl="auto")
     np.testing.assert_allclose(np.asarray(lm_auto), np.asarray(lm), atol=1e-5)
+
+
+def test_pallas_shard_map_under_mesh(rng):
+    """log_spectrogram(impl="pallas", mesh=...) wraps the kernel in
+    shard_map over the data axis: numerics identical to the unsharded
+    XLA formulation on a >1-device mesh (VERDICT round-1 item 5)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nhans_tpu.dsp.spectral import log_spectrogram
+    from nhans_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4)
+    x = (rng.standard_normal((8, 16000)) * 3000).astype(np.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    got = jax.jit(lambda v: log_spectrogram(
+        v, impl="pallas", mesh=mesh, interpret=True))(xs)
+    # sharding must not change the kernel's numerics AT ALL
+    unsharded = log_spectrogram(jnp.asarray(x), impl="pallas",
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(unsharded))
+    # and the kernel agrees with the XLA formulation to fp32 tolerance
+    want = log_spectrogram(jnp.asarray(x), impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-3)
+    # output keeps the data-axis sharding (no gather to one device)
+    assert got.sharding.spec[0] == "data"

@@ -126,3 +126,56 @@ def test_import_roundtrip_synthetic(tmp_path):
     assert r.shape("t") == (2, 3)
     assert r.has_payload("t")
     np.testing.assert_array_equal(r.read("t"), data)
+
+
+@needs_ref
+@pytest.mark.slow
+def test_full_571_tensor_import_roundtrip(tmp_path, rng):
+    """End-to-end import proof without the stripped payloads (round-1
+    VERDICT item 9): write a COMPLETE synthetic bundle with the real
+    index's 571 names/shapes, run import_tf_checkpoint, and verify the
+    imported flax model's forward pass against the numpy TF-semantics
+    oracle consuming the same TF-named tensors directly."""
+    from nhans_tpu.compat.tf_bundle import TFBundleReader, write_bundle
+    from nhans_tpu.compat.tf_import import import_tf_checkpoint
+    from nhans_tpu.config import Config
+    from nhans_tpu.models import init_variables
+    from tests import reference_model as RM
+
+    real = TFBundleReader(REF_SN)
+    assert len(real.entries) == 571
+
+    tensors = {}
+    for name in real.keys():
+        shape = real.shape(name)
+        arr = (rng.standard_normal(shape) * 0.05).astype(np.float32)
+        if name.endswith("pop_variance") or name.endswith("gamma"):
+            arr = np.abs(arr) + 0.5
+        tensors[name] = arr
+    prefix = str(tmp_path / "synthetic-1000000")
+    write_bundle(prefix, tensors)
+
+    check = TFBundleReader(prefix)
+    assert len(check.entries) == 571
+    for name in real.keys():
+        assert check.shape(name) == real.shape(name), name
+        assert check.has_payload(name)
+
+    cfg = Config.denoiser()
+    model, variables = init_variables(cfg, jax.random.PRNGKey(0))
+    imported = import_tf_checkpoint(prefix, variables, task="denoiser")
+
+    mixed = rng.standard_normal((2, 35, 201)).astype(np.float32)
+    ctx_a = rng.standard_normal((2, 200, 201)).astype(np.float32)
+    ctx_b = rng.standard_normal((2, 200, 201)).astype(np.float32)
+    ref_out = RM.model_forward(
+        mixed.astype(np.float64), ctx_a.astype(np.float64),
+        ctx_b.astype(np.float64),
+        {k: np.asarray(v, np.float64) for k, v in tensors.items()})
+    got = np.asarray(model.apply(imported, mixed, ctx_a, ctx_b, False))
+    # relative-L2 criterion: fp32 flax vs fp64 oracle accumulates ~1e-3
+    # relative noise at these (unnormalized random-weight) activation
+    # scales; a single transposed/misrouted tensor yields O(1) error
+    rel = (np.linalg.norm(got - ref_out)
+           / max(np.linalg.norm(ref_out), 1e-9))
+    assert rel < 3e-3, f"relative L2 error {rel}"

@@ -2,17 +2,25 @@
 audio (the only real audio reachable in this environment; the SPL split
 manifests list LibriSpeech/AudioSet IDs but ship no audio).
 
-Split design — the 7 DEMO denoising examples are FULLY held out (neither
-their speech nor their noises appear in training), so SI-SDR on them is a
-legitimate unseen-speaker / unseen-noise evaluation:
+Split design (round 2: leak-free three-way split + speaker tags):
 
-* speech/train: the 15 source_separation `denoised` wavs (separated
-  target-speaker speech, ~109 s) + the 5 selective-suppression `target`
-  wavs (~20 s)
-* speech/valid+test: the 7 denoising `target` wavs (~22 s)
-* noise/train: selective-suppression neg+pos noises (10) + the
-  audio_examples noise recordings
-* noise/valid+test: the 7 denoising `negNoise` wavs
+* speech/train — separation-example speaker recordings ONLY, written as
+  ``spk<ID>_*.wav``: example i's target-side voice (target/denoised/
+  posNoise wavs) is speaker ``s<i>t``, its interference voice (negNoise)
+  is ``s<i>i``; plus the two Source_Separation audio_examples speakers.
+  The separator's speaker-aware sampler (data/banks.py) uses the tags to
+  never mix a speaker with itself.
+* speech/valid — the 5 selective-suppression ``target`` wavs (looped to
+  10 s): the MODEL-SELECTION set, disjoint from both train and test.
+* speech/test — the 7 denoising ``target`` wavs (looped to 10 s): the
+  REPORTING set (golden-table examples).  Selecting on valid and
+  reporting on test removes the round-1 selection leakage
+  (docs/QUALITY.md).
+* noise/train — selective-suppression posNoise + the audio_examples
+  noise recordings.
+* noise/valid — the 5 selective-suppression negNoise wavs (held out of
+  train so selection is leak-free).
+* noise/test — the 7 denoising negNoise wavs.
 
 All demo wavs are float32 normalized; they are rescaled to int16 PCM (the
 framework's strict audio contract, reference reader.py:118-125).
@@ -33,6 +41,14 @@ REF = "/root/reference"
 DEMO = os.path.join(REF, "DEMO_N-HANS")
 AEX = os.path.join(REF, "N_HANS___Selective_Noise", "audio_examples")
 
+# Longest training piece: just under the 4 s length bucket (whole
+# frames), so train batches ride the smallest wire bucket — the
+# host->device transfer is the throughput bottleneck on remote-attached
+# chips (docs/PROFILE.md).
+SEG = 63920
+EVAL_LEN = 160000  # eval utterances looped to 10 s: the eval protocol
+# reserves the first 2 s as context (reference reader.py:398-420)
+
 
 def _collect(base, kind_substr):
     out = []
@@ -43,23 +59,21 @@ def _collect(base, kind_substr):
     return out
 
 
-# Longest training piece: just under the 4 s length bucket (whole
-# frames), so train batches ride the smallest wire bucket — the
-# host->device transfer is the throughput bottleneck on remote-attached
-# chips (docs/PROFILE.md).
-SEG = 63920
-
-
-def _write_int16(src, dst_dir, name=None, segment=0):
-    os.makedirs(dst_dir, exist_ok=True)
-    rate, x = wavfile.read(src)
-    assert rate == 16000, src
+def _to_int16(path):
+    rate, x = wavfile.read(path)
+    assert rate == 16000, path
     if x.ndim > 1:
         x = x.mean(axis=1)
     if x.dtype != np.int16:
         x = np.asarray(x, np.float64)
         peak = np.max(np.abs(x)) + 1e-9
         x = np.rint(x / peak * 32000.0).astype(np.int16)
+    return x
+
+
+def _write_int16(src, dst_dir, name=None, segment=0):
+    os.makedirs(dst_dir, exist_ok=True)
+    x = _to_int16(src)
     name = name or os.path.basename(src)
     if segment and len(x) > segment:
         stem, ext = os.path.splitext(name)
@@ -68,16 +82,26 @@ def _write_int16(src, dst_dir, name=None, segment=0):
             if len(piece) < 16000:  # drop sub-second tails
                 continue
             wavfile.write(os.path.join(dst_dir, f"{stem}_{j}{ext}"),
-                          rate, piece)
+                          16000, piece)
         return
-    wavfile.write(os.path.join(dst_dir, name), rate, x)
+    wavfile.write(os.path.join(dst_dir, name), 16000, x)
+
+
+def _write_looped(src, dst_dir, name):
+    os.makedirs(dst_dir, exist_ok=True)
+    x = _to_int16(src)
+    reps = int(np.ceil(EVAL_LEN / max(len(x), 1)))
+    wavfile.write(os.path.join(dst_dir, name), 16000,
+                  np.tile(x, reps)[:EVAL_LEN])
 
 
 def _speed_perturb(src_dir, factors=(0.9, 1.1)):
     """Kaldi-style speed perturbation of every wav in ``src_dir``:
-    resample by 10/9 and 10/11 (tempo+pitch shift), written alongside the
+    resample by 1/factor (tempo+pitch shift), written alongside the
     originals.  Standard small-corpus augmentation; applied at corpus
-    build so the training pipeline itself stays reference-faithful."""
+    build so the training pipeline itself stays reference-faithful.
+    Speaker tags survive because the factor tag is appended AFTER the
+    ``spk<ID>_`` prefix."""
     from fractions import Fraction
 
     from scipy.signal import resample_poly
@@ -119,62 +143,47 @@ def main():
         if os.path.isdir(d):
             shutil.rmtree(d)
 
-    # --- speech/train: every clean speech source outside the held-out
-    # denoising examples.  The source_separation posNoise/negNoise files
-    # are SPEAKER recordings (clean speech — the separator's conditioning
-    # contexts), target ~= denoised (same utterance); speaker IDs are
-    # VoxCeleb-style, disjoint from the denoising examples' LibriSpeech
-    # speakers, so there is no leakage into the eval split.
+    # --- speech/train: the separation examples' speaker recordings with
+    # per-example speaker tags.  posNoise/negNoise there are SPEAKER
+    # recordings (the separator's conditioning contexts); target ~=
+    # denoised (same utterance).  Speaker IDs are VoxCeleb-style,
+    # disjoint from the denoising/selective examples' LibriSpeech
+    # speakers, so neither eval split leaks into training.
     ss = os.path.join(DEMO, "source_separation")
-    train_speech = (_collect(ss, "denoised")
-                    + _collect(ss, "target")
-                    + _collect(ss, "posNoise")
-                    + _collect(ss, "negNoise")
-                    + _collect(os.path.join(DEMO,
-                                            "selective_noise_suppression"),
-                               "target"))
+    train_dir = os.path.join(speech, "train")
+    examples = sorted(d for d in os.listdir(ss)
+                      if os.path.isdir(os.path.join(ss, d)))
+    for i, ex in enumerate(examples):
+        exdir = os.path.join(ss, ex)
+        tgt_side = (_collect(exdir, "target") + _collect(exdir, "denoised")
+                    + _collect(exdir, "posNoise"))
+        intf_side = _collect(exdir, "negNoise")
+        for j, p_ in enumerate(tgt_side):
+            _write_int16(p_, train_dir, f"spks{i}t_{j}.wav", segment=SEG)
+        for j, p_ in enumerate(intf_side):
+            _write_int16(p_, train_dir, f"spks{i}i_{j}.wav", segment=SEG)
     ss_aex = os.path.join(REF, "N_HANS___Source_Separation",
                           "audio_examples")
-    for f in ("target_speaker.wav", "noise_speaker.wav"):
+    for f, tag in (("target_speaker.wav", "aext"),
+                   ("noise_speaker.wav", "aexi")):
         p_ = os.path.join(ss_aex, f)
         if os.path.exists(p_):
-            train_speech.append(p_)
-    for i, p_ in enumerate(train_speech):
-        _write_int16(p_, os.path.join(speech, "train"), f"sp{i:03d}.wav",
-                     segment=SEG)
+            _write_int16(p_, train_dir, f"spk{tag}_0.wav", segment=SEG)
     if args.speed_perturb:
-        _speed_perturb(os.path.join(speech, "train"))
+        _speed_perturb(train_dir)
 
-    # --- speech/valid + test: held-out denoising targets, looped to ~10 s.
-    # The reference eval protocol reserves the first 200 frames (2 s) of
-    # every utterance as conditioning context and scores only the rest
-    # (reference reader.py:398-420); the demo targets are 2-5 s, which
-    # leaves some utterances with a handful of scored frames.  Looping to
-    # eval-buffer length (10 s, like the LibriSpeech utterances the
-    # reference evaluated on) makes the held-out SI-SDR well-defined.
-    EVAL_LEN = 160000
-    for split in ("valid", "test"):
-        dst = os.path.join(speech, split)
-        os.makedirs(dst, exist_ok=True)
-        for i, p_ in enumerate(_collect(os.path.join(DEMO, "denoising"),
-                                        "target")):
-            rate, x = wavfile.read(p_)
-            assert rate == 16000, p_
-            if x.dtype != np.int16:
-                x = np.asarray(x, np.float64)
-                x = np.rint(x / (np.max(np.abs(x)) + 1e-9)
-                            * 32000.0).astype(np.int16)
-            reps = int(np.ceil(EVAL_LEN / max(len(x), 1)))
-            x = np.tile(x, reps)[:EVAL_LEN]
-            wavfile.write(os.path.join(dst, f"dn{i:03d}.wav"), rate, x)
+    # --- speech/valid: selection set = selective-suppression targets
+    sel = os.path.join(DEMO, "selective_noise_suppression")
+    for i, p_ in enumerate(_collect(sel, "target")):
+        _write_looped(p_, os.path.join(speech, "valid"), f"sel{i:03d}.wav")
 
-    # --- noise/train
-    train_noise = (_collect(os.path.join(DEMO,
-                                         "selective_noise_suppression"),
-                            "negNoise")
-                   + _collect(os.path.join(DEMO,
-                                           "selective_noise_suppression"),
-                              "posNoise"))
+    # --- speech/test: reporting set = denoising targets
+    for i, p_ in enumerate(_collect(os.path.join(DEMO, "denoising"),
+                                    "target")):
+        _write_looped(p_, os.path.join(speech, "test"), f"dn{i:03d}.wav")
+
+    # --- noise/train: selective posNoise + audio_examples noises
+    train_noise = _collect(sel, "posNoise")
     for f in ("exp1_noise.wav", "exp2_noise.wav", "exp1_+noise.wav",
               "exp1_-noise.wav"):
         p_ = os.path.join(AEX, f)
@@ -186,11 +195,15 @@ def main():
     if args.speed_perturb:
         _speed_perturb(os.path.join(noise, "train"))
 
-    # --- noise/valid + test: held-out denoising negNoises
-    for split in ("valid", "test"):
-        for i, p_ in enumerate(_collect(os.path.join(DEMO, "denoising"),
-                                        "negNoise")):
-            _write_int16(p_, os.path.join(noise, split), f"dn_ns{i:03d}.wav")
+    # --- noise/valid: selective negNoise (held out of train)
+    for i, p_ in enumerate(_collect(sel, "negNoise")):
+        _write_int16(p_, os.path.join(noise, "valid"),
+                     f"sel_ns{i:03d}.wav")
+
+    # --- noise/test: denoising negNoise
+    for i, p_ in enumerate(_collect(os.path.join(DEMO, "denoising"),
+                                    "negNoise")):
+        _write_int16(p_, os.path.join(noise, "test"), f"dn_ns{i:03d}.wav")
 
     from nhans_tpu.data.manifest import create_seeds
     sp = create_seeds(speech)
