@@ -94,6 +94,20 @@ def validate_table(records):
     return "\n".join(lines)
 
 
+def separator_table(rows):
+    lines = ["| Step | Eval loss | SI-SDR out (dB) | SI-SDR mixed (dB) "
+             "| SI-SDR gain (dB) |",
+             "|---|---|---|---|---|"]
+    for r in rows:
+        lines.append(
+            "| {step} | {loss:.4f} | {si_sdr:.2f} | {mix:.2f} "
+            "| {gain:+.2f} |".format(
+                step=r["step"], loss=r.get("eval_loss", r.get("loss", 0.0)),
+                si_sdr=r["si_sdr"], mix=r["si_sdr_mixed"],
+                gain=r["si_sdr_gain"]))
+    return "\n".join(lines)
+
+
 MARKERS = {
     "RESULTS_TABLE": results_table,
     "VALIDATE_TABLE": validate_table,
@@ -117,6 +131,8 @@ def main():
     p.add_argument("--jsonl", required=True)
     p.add_argument("--validate", default="",
                    help="JSON list written by tools/validate_demo.py --json")
+    p.add_argument("--separator_jsonl", default="",
+                   help="separator-run metrics JSONL for SEPARATOR_TABLE")
     p.add_argument("--doc", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "QUALITY.md"))
@@ -131,6 +147,11 @@ def main():
     if args.validate:
         with open(args.validate) as f:
             doc = splice(doc, "VALIDATE_TABLE", validate_table(json.load(f)))
+    if args.separator_jsonl:
+        srows = load_eval_rows(args.separator_jsonl)
+        if srows:
+            doc = splice(doc, "SEPARATOR_TABLE", separator_table(srows))
+            print(f"separator table: {len(srows)} eval points")
     with open(args.doc, "w") as f:
         f.write(doc)
     print(f"wrote {args.doc}")
