@@ -39,33 +39,56 @@ def bench_train(args) -> None:
     B = args.train_utts
     L = cfg.data.max_samples
     model, state, tx = create_state(cfg, jax.random.PRNGKey(0))
-    step = make_train_step(cfg, model, tx, donate=False)
-
     rng = np.random.default_rng(0)
-    batch = {
-        "clean": (rng.standard_normal((B, L)) * 3000).astype(np.int16),
-        "noise_a": (rng.standard_normal((B, L)) * 3000).astype(np.int16),
-        "noise_b": (rng.standard_normal((B, L)) * 3000).astype(np.int16),
-        "clean_len": np.full((B,), L, np.int32),
-        "len_a": np.full((B,), L, np.int32),
-        "len_b": np.full((B,), L, np.int32),
-        "peaks": np.full((B, 3), 9000.0, np.float32),
-    }
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    if args.banked:
+        # production hot loop since round 2: device-resident corpus
+        # banks + per-step int32 index triples (data/banks.py)
+        L = 63920  # 4 s segment bucket (the quality-run corpus shape)
+        N = 128
+        step = make_train_step(cfg, model, tx, donate=False, banked=True)
+        banks = {
+            "speech": jnp.asarray(
+                (rng.standard_normal((N, L)) * 3000).astype(np.int16)),
+            "speech_len": jnp.full((N,), L, jnp.int32),
+            "speech_peak": jnp.full((N,), 9000.0, jnp.float32),
+        }
+        banks["noise"] = banks["speech"]
+        banks["noise_len"] = banks["speech_len"]
+        banks["noise_peak"] = banks["speech_peak"]
+        idx = {k: jnp.asarray(rng.integers(N, size=B).astype(np.int32))
+               for k in ("clean_idx", "a_idx", "b_idx")}
+        run = lambda s, k: step(s, banks, idx, k)  # noqa: E731
+        lower_args = (state, banks, idx, jax.random.PRNGKey(1))
+        lowered = jax.jit(step).lower(*lower_args)
+    else:
+        step = make_train_step(cfg, model, tx, donate=False)
+        batch = {
+            "clean": (rng.standard_normal((B, L)) * 3000).astype(np.int16),
+            "noise_a": (rng.standard_normal((B, L)) * 3000).astype(np.int16),
+            "noise_b": (rng.standard_normal((B, L)) * 3000).astype(np.int16),
+            "clean_len": np.full((B,), L, np.int32),
+            "len_a": np.full((B,), L, np.int32),
+            "len_b": np.full((B,), L, np.int32),
+            "peaks": np.full((B, 3), 9000.0, np.float32),
+        }
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        run = lambda s, k: step(s, batch, k)  # noqa: E731
+        lowered = jax.jit(lambda s, b, k: step(s, b, k)).lower(
+            state, batch, jax.random.PRNGKey(1))
     key = jax.random.PRNGKey(1)
 
-    lowered = jax.jit(lambda s, b, k: step(s, b, k)).lower(state, batch, key)
     compiled = lowered.compile()
     try:
         flops = float(compiled.cost_analysis()["flops"])
     except Exception:
         flops = 0.0
 
-    state, metrics = step(state, batch, key)
+    state, metrics = run(state, key)
     _ = float(np.asarray(metrics["loss"]))  # sync (host readback)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        state, metrics = step(state, batch, key)
+        state, metrics = run(state, key)
     _ = float(np.asarray(metrics["loss"]))
     dt = (time.perf_counter() - t0) / args.iters
 
@@ -82,6 +105,7 @@ def bench_train(args) -> None:
         "mfu_est": round(flops / dt / peak, 4) if flops else None,
         "dtype": args.dtype,
         "windows_per_step": windows,
+        "pipeline": "banked" if args.banked else "streamed",
     }))
 
 
@@ -195,6 +219,10 @@ def main() -> None:
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="use Gaussian-noise inputs for --mode infer "
                         "instead of real reference audio")
+    p.add_argument("--banked", action="store_true", default=False,
+                   help="--mode train: measure the device-bank (indexed)"
+                        " production step instead of the streamed-batch "
+                        "step")
     args = p.parse_args()
 
     if args.mode == "train":

@@ -37,18 +37,19 @@ def load_eval_rows(path: str):
 
 def results_table(rows):
     lines = ["| Step | Eval loss | SI-SDR out (dB) | SI-SDR mixed (dB) "
-             "| SI-SDR gain (dB) | STOI out | STOI mixed |",
-             "|---|---|---|---|---|---|---|"]
+             "| SI-SDR gain (dB) | STOI out | STOI mixed | PESQ |",
+             "|---|---|---|---|---|---|---|---|"]
     for r in rows:
         lines.append(
             "| {step} | {loss:.4f} | {si_sdr:.2f} | {si_sdr_mixed:.2f} "
-            "| {si_sdr_gain:+.2f} | {stoi} | {stoi_mixed} |".format(
+            "| {si_sdr_gain:+.2f} | {stoi} | {stoi_mixed} | {pesq} |".format(
                 step=r["step"], loss=r.get("eval_loss", r.get("loss", 0.0)),
                 si_sdr=r["si_sdr"], si_sdr_mixed=r["si_sdr_mixed"],
                 si_sdr_gain=r["si_sdr_gain"],
                 stoi=("%.3f" % r["stoi"]) if "stoi" in r else "—",
                 stoi_mixed=("%.3f" % r["stoi_mixed"])
-                if "stoi_mixed" in r else "—"))
+                if "stoi_mixed" in r else "—",
+                pesq=("%.2f" % r["pesq"]) if "pesq" in r else "—"))
     return "\n".join(lines)
 
 

@@ -1,15 +1,15 @@
 """Supervised training: run ``nhans_train`` in restartable chunks.
 
-Why: the axon remote-TPU plugin in this environment leaks the host-side
-buffer of EVERY host->device transfer (~batch-size bytes per step;
-verified with a device_put microbenchmark — 32 MB leaked per 32 MB put,
-`.delete()` included), so a long single-process run is OOM-killed once
-RSS hits host RAM.  Checkpoint auto-resume (train/trainer.py) makes the
-fix trivial: train in chunks of N steps, one process per chunk.
-
-This is an ENVIRONMENT workaround, not framework architecture: on a
-normally attached TPU (PCIe/pod) the supervisor is unnecessary but
-harmless — it doubles as preemption-recovery demonstration.
+Round-2 status: LARGELY OBSOLETE for quality runs.  The axon remote-TPU
+plugin leaks the host-side buffer of every host->device transfer
+(root-caused in docs/PROFILE.md), which round 1 worked around with this
+chunked supervisor; the device-resident corpus banks
+(nhans_tpu/data/banks.py, ``--device_corpus auto``) now cut per-step
+transfers to ~100 bytes, so single-process runs of any length are fine
+whenever the corpus fits the HBM budget.  The supervisor remains useful
+as (a) a preemption-recovery harness (resume is SIGKILL-exact,
+tests/test_fault_injection.py) and (b) a fallback for corpora too large
+for the banks on this leaking client.
 
 Usage:
   python tools/train_supervisor.py --target 40000 --chunk 5000 \
