@@ -133,6 +133,10 @@ def main():
     p.add_argument("--speed_perturb", action="store_true", default=False,
                    help="add 0.9x/1.1x resampled copies of train speech "
                         "and noise (3x corpus)")
+    p.add_argument("--silent_noises", type=int, default=6,
+                   help="number of all-zero wavs pooled into noise/train "
+                        "(reference corpus convention: SilentN files; "
+                        "teaches the silent-context regimes)")
     args = p.parse_args()
 
     speech = os.path.join(args.out, "speech")
@@ -194,6 +198,17 @@ def main():
                      segment=SEG)
     if args.speed_perturb:
         _speed_perturb(os.path.join(noise, "train"))
+
+    # --- noise/train: SILENT files. The published corpus pools silence
+    # with the noises (demo set filenames carry pos-noise tags Silent9/
+    # Silent10/Silent16, DEMO_N-HANS/denoising/example*/; apply.py:480
+    # feeds the same Silent.wav as the +context), so "suppress everything"
+    # (pos = silence) and "keep everything" (neg = silence, mixed == target)
+    # are both IN-distribution.  Without them the net never sees a silent
+    # context and over-suppresses near-clean input at apply time.
+    for i in range(args.silent_noises):
+        wavfile.write(os.path.join(noise, "train", f"nsilent{i:02d}.wav"),
+                      16000, np.zeros(SEG, np.int16))
 
     # --- noise/valid: selective negNoise (held out of train)
     for i, p_ in enumerate(_collect(sel, "negNoise")):
