@@ -44,6 +44,35 @@ DEFAULT_BUCKETS_SECONDS = (1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32,
                            40, 48, 64, 80, 96, 128)
 
 
+def _pack_variables(variables):
+    """Concatenate every leaf of ``variables`` into one 1-D device buffer
+    per dtype.  Returns ``(packed, unpack)`` where ``packed`` is a small
+    dict pytree (leaf count = number of distinct dtypes, in practice 1)
+    and ``unpack(packed)`` rebuilds the original pytree inside a traced
+    program via static slices + reshapes (zero-cost under XLA fusion)."""
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    offsets = {}
+    chunks = {}
+    spec = []  # (dtype key, offset, size, shape) per leaf
+    for leaf in leaves:
+        dt = jnp.result_type(leaf)
+        key = jnp.dtype(dt).name
+        off = offsets.get(key, 0)
+        size = int(np.prod(leaf.shape)) if leaf.shape else 1
+        spec.append((key, off, size, tuple(leaf.shape)))
+        offsets[key] = off + size
+        chunks.setdefault(key, []).append(jnp.ravel(leaf))
+    packed = {k: jnp.concatenate(v) if len(v) > 1 else v[0]
+              for k, v in chunks.items()}
+
+    def unpack(packed_args):
+        rebuilt = [packed_args[key][off:off + size].reshape(shape)
+                   for key, off, size, shape in spec]
+        return jax.tree_util.tree_unflatten(treedef, rebuilt)
+
+    return packed, unpack
+
+
 class Enhancer:
     """Callable enhancement engine for a task (denoiser or separator).
 
@@ -55,7 +84,7 @@ class Enhancer:
 
     def __init__(self, cfg: Config, variables, window_chunk: int = 2048,
                  buckets_seconds=DEFAULT_BUCKETS_SECONDS,
-                 out_wire: str = "int16"):
+                 out_wire: str = "int16", pack_params: bool = True):
         self.cfg = cfg
         self.model = NHANSNet(cfg.model)
         # pin parameters to the device ONCE: checkpoint loads hand back
@@ -67,6 +96,16 @@ class Enhancer:
         self.buckets = [int(s * cfg.audio.sample_rate) for s in buckets_seconds]
         self.out_wire = out_wire
         self._programs = {}
+        # pack the ~600 parameter leaves into ONE device buffer per dtype:
+        # on remote-attached chips every jit argument is a buffer handle
+        # marshalled through the runtime RPC, so per-call overhead scales
+        # with the LEAF COUNT, not bytes.  Programs take the packed
+        # buffers and re-slice the pytree on device (static slices, free
+        # after fusion).
+        if pack_params:
+            self._param_args, self._unpack = _pack_variables(self.variables)
+        else:
+            self._param_args, self._unpack = self.variables, lambda v: v
 
     # ------------------------------------------------------------------ #
     # program construction
@@ -87,7 +126,8 @@ class Enhancer:
 
         pad_before, pad_after = ((W + 1) // 2) - 1, W // 2
 
-        def program(variables, mixed, ctx, ints, peaks):
+        def program(packed, mixed, ctx, ints, peaks):
+            variables = self._unpack(packed)
             # mixed: [B, L] int16 RAW samples (normalization happens here,
             # with host-computed whole-file peaks [B, 3], halving the
             # host->device wire); ctx: [B, 2, ctx_n] packed pos/neg
@@ -267,7 +307,7 @@ class Enhancer:
                           self.cfg.audio.frame_step)
         ints[:, 3] = 0
         ints[:, 4] = F
-        outs = program(self.variables, jnp.asarray(mixed),
+        outs = program(self._param_args, jnp.asarray(mixed),
                        jnp.asarray(ctx), jnp.asarray(ints),
                        jnp.asarray(peaks))
         return outs, nreal
@@ -370,7 +410,7 @@ class Enhancer:
             ints = np.stack([n_seg, np.full((B,), n_pos, np.int32),
                              np.full((B,), n_neg, np.int32),
                              keep_from, keep_until], axis=1)
-            wavs, meta = program(self.variables, jnp.asarray(seg),
+            wavs, meta = program(self._param_args, jnp.asarray(seg),
                                  jnp.asarray(ctx),
                                  jnp.asarray(ints.astype(np.int32)),
                                  jnp.asarray(peaks))

@@ -75,3 +75,23 @@ def test_enhance_long_matches_unsegmented(rng):
                                atol=2e-4)
     np.testing.assert_allclose(seg["mixed_processed"][:n],
                                whole["mixed_processed"], atol=2e-4)
+
+
+@pytest.mark.slow
+def test_packed_params_match_plain(rng):
+    """pack_params=True (one device buffer per dtype, re-sliced inside
+    the program) must be bit-identical to passing the raw pytree."""
+    cfg = Config.denoiser()
+    _, variables = init_variables(cfg, jax.random.PRNGKey(1), train=False)
+    mixed = rng.standard_normal(9000) * 1000
+    pos = np.zeros(4000)
+    neg = rng.standard_normal(5000) * 500
+    kw = dict(window_chunk=32, buckets_seconds=(1,))
+    out_packed = Enhancer(cfg, variables, pack_params=True,
+                          **kw).enhance(mixed, pos, neg)
+    out_plain = Enhancer(cfg, variables, pack_params=False,
+                         **kw).enhance(mixed, pos, neg)
+    np.testing.assert_array_equal(out_packed["denoised"],
+                                  out_plain["denoised"])
+    np.testing.assert_array_equal(out_packed["mixed_processed"],
+                                  out_plain["mixed_processed"])

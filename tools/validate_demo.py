@@ -62,6 +62,10 @@ def main():
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--json", default="",
                    help="also write records here for tools/quality_report.py")
+    p.add_argument("--ac", action="store_true", default=False,
+                   help="also score the --ac energy-compensated output "
+                        "(reference apply.py:463-472: denoised + removed "
+                        "* snr_est/20), reported as *_ac keys")
     args = p.parse_args()
 
     from nhans_tpu.cli._app import load_enhancer
@@ -93,6 +97,8 @@ def main():
             ctx_a, ctx_b = pos, neg
         out = enh.enhance(mixed, ctx_a, ctx_b)
         den = out["denoised"]
+        den_ac = (enh.compensate(den, out["removed"], out["snr_est"],
+                                 ac=True) if args.ac else None)
         golden = wavio.read_for_processing(ex["golden"])
         golden = golden / (np.max(np.abs(golden)) + 1e-6)
         rec = dict(example=ex["name"])
@@ -118,6 +124,11 @@ def main():
             if p is not None:
                 rec["pesq_ours"] = p
                 row.append(f"PESQ = {p:4.2f}")
+            if den_ac is not None:
+                rec["si_sdr_ours_ac"] = si_sdr(den_ac, target)
+                rec["stoi_ours_ac"] = stoi(den_ac, target)
+                row.append(f"SI-SDR(ours+ac, target) = "
+                           f"{rec['si_sdr_ours_ac']:7.2f}")
         records.append(rec)
         print("  ".join(row))
 
