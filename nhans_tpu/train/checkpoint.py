@@ -74,6 +74,23 @@ def load_variables(path: str, template: Any = None) -> Any:
     Checkpointer step directory.
     """
     path = os.path.abspath(path)
+    # Accept a CheckpointManager ROOT (ckdir or ckdir/<model_name>) too:
+    # descend to the LATEST numeric step so CLIs can just point at the
+    # training --checkpoint_dir.
+    for _ in range(3):
+        if (os.path.isdir(os.path.join(path, "default"))
+                or os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+                or os.path.exists(os.path.join(path, "manifest.ocdbt"))):
+            break
+        subs = [d for d in os.listdir(path)
+                if os.path.isdir(os.path.join(path, d))]
+        steps = [d for d in subs if d.isdigit()]
+        if steps:
+            path = os.path.join(path, max(steps, key=int))
+        elif len(subs) == 1:
+            path = os.path.join(path, subs[0])
+        else:
+            break
     # CheckpointManager step dirs nest the pytree under 'default'
     if os.path.isdir(os.path.join(path, "default")):
         path = os.path.join(path, "default")

@@ -99,6 +99,20 @@ def test_save_load_variables(tmp_path):
     np.testing.assert_array_equal(out["params"]["a"], v["params"]["a"])
 
 
+def test_load_variables_resolves_manager_root(tmp_path):
+    """Pointing --checkpoint at the training checkpoint ROOT (ckdir or
+    ckdir/<model>) must resolve to the LATEST numeric step."""
+    from nhans_tpu.train.checkpoint import load_variables, save_variables
+    for step, val in ((100, 1.0), (900, 2.0), (2500, 3.0)):
+        save_variables(str(tmp_path / "ck" / "nhans" / str(step)),
+                       {"params": {"a": np.full((2,), val, np.float32)}})
+    tpl = {"params": {"a": np.zeros((2,), np.float32)}}
+    for entry in ("ck", "ck/nhans", "ck/nhans/2500"):
+        out = load_variables(str(tmp_path / entry), tpl)
+        np.testing.assert_array_equal(out["params"]["a"],
+                                      np.full((2,), 3.0, np.float32))
+
+
 def test_train_loader_length_bucketing(tmp_path):
     """Batches of short utterances ride a small length bucket, with
     whole-file peaks carried alongside for exact normalization."""
