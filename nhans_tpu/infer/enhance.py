@@ -96,6 +96,10 @@ class Enhancer:
         self.buckets = [int(s * cfg.audio.sample_rate) for s in buckets_seconds]
         self.out_wire = out_wire
         self._programs = {}
+        self._ctx_programs = {}
+        import collections
+        self._ctx_cache = collections.OrderedDict()
+        self._ctx_cache_max = 8
         # pack the ~600 parameter leaves into ONE device buffer per dtype:
         # on remote-attached chips every jit argument is a buffer handle
         # marshalled through the runtime RPC, so per-call overhead scales
@@ -126,47 +130,32 @@ class Enhancer:
 
         pad_before, pad_after = ((W + 1) // 2) - 1, W // 2
 
-        def program(packed, mixed, ctx, ints, peaks):
+        def program(packed, emb_a, emb_b, mixed, ints, peaks):
             variables = self._unpack(packed)
             # mixed: [B, L] int16 RAW samples (normalization happens here,
             # with host-computed whole-file peaks [B, 3], halving the
-            # host->device wire); ctx: [B, 2, ctx_n] packed pos/neg
-            # context buffers; ints: [B, 5] int32 = (n_mixed, n_pos,
-            # n_neg, keep_from, keep_until).  Args are PACKED because on
-            # remote-attached chips every array transfer is an RPC round
-            # trip — 4 H2D transfers instead of 9.
+            # host->device wire); emb_a/emb_b: [B, 512] context embeddings
+            # produced by the separate context program (device-resident,
+            # chained without a host sync — and CACHED across calls that
+            # reuse the same contexts, the common CLI/folder/stream
+            # pattern); ints: [B, 5] int32 = (n_mixed, n_pos, n_neg,
+            # keep_from, keep_until) (n_pos/n_neg unused here, layout
+            # shared with the context program).  Args are PACKED because
+            # on remote-attached chips every array transfer is an RPC
+            # round trip.
             # keep_from/keep_until: only frames in [keep_from,
             # min(keep_until, nf)) contribute to the reconstruction — used
             # by the segmented long-audio path to excise halo frames.
             B = mixed.shape[0]
-            pos, neg = ctx[:, 0], ctx[:, 1]
-            n_mixed, n_pos, n_neg = ints[:, 0], ints[:, 1], ints[:, 2]
+            n_mixed = ints[:, 0]
             keep_from, keep_until = ints[:, 3], ints[:, 4]
             mixed = mixed.astype(jnp.float32) / (peaks[:, 0:1] + 1e-6)
-            pos = pos.astype(jnp.float32) / (peaks[:, 1:2] + 1e-6)
-            neg = neg.astype(jnp.float32) / (peaks[:, 2:3] + 1e-6)
             logmag, s_re, s_im = sp.spectrogram_reim(mixed, fl, fs,
                                                      a.log_eps, impl=impl)
             nf = 1 + jnp.maximum(n_mixed - fl, 0) // fs          # [B]
             far = jnp.arange(F)[None, :]
             fmask = ((far < jnp.minimum(nf, keep_until)[:, None])
                      & (far >= keep_from[:, None]))               # [B, F]
-
-            # ---- contexts: first 200 frames, cyclically tiled if short
-            # (log-mag only: the Pallas path skips phase entirely)
-            pos_lm = sp.log_spectrogram(pos, fl, fs, a.log_eps, impl=impl)
-            neg_lm = sp.log_spectrogram(neg, fl, fs, a.log_eps, impl=impl)
-            nf_pos = jnp.maximum(1 + jnp.maximum(n_pos - fl, 0) // fs, 1)
-            nf_neg = jnp.maximum(1 + jnp.maximum(n_neg - fl, 0) // fs, 1)
-            ar = jnp.arange(Fc, dtype=jnp.int32)[None, :]
-            idx_p = jnp.remainder(ar, nf_pos[:, None])
-            idx_n = jnp.remainder(ar, nf_neg[:, None])
-            ctx_a = jnp.take_along_axis(pos_lm, idx_p[:, :, None], axis=1)
-            ctx_b = jnp.take_along_axis(neg_lm, idx_n[:, :, None], axis=1)
-
-            # ---- encode contexts once per utterance
-            emb_a, emb_b = self.model.apply(variables, None, ctx_a, ctx_b,
-                                            False)
 
             # ---- all sliding windows, chunked globally through the main
             # tower: `window_chunk` windows per model call regardless of B.
@@ -259,6 +248,63 @@ class Enhancer:
             self._programs[key] = self._build_program(bucket, batch)
         return self._programs[key], bucket
 
+    def _build_ctx_program(self, batch: int):
+        """Context-encoder program: [B, 2, ctx_n] int16 context buffers ->
+        512-d embeddings.  Split from the main program so embeddings stay
+        device-resident, chain into the main dispatch WITHOUT a host sync,
+        and can be cached across calls sharing contexts (the dominant
+        CLI / folder / stream pattern — the reference re-runs its context
+        tower for every window of every utterance, apply.py:406-441)."""
+        cfg = self.cfg
+        a = cfg.audio
+        fl, fs = a.frame_length, a.frame_step
+        impl = sp.resolve_stft_impl(a.stft_impl)
+        ctx_n = context_samples(cfg)
+        Fc = sp.num_frames(ctx_n, fl, fs)  # == context_frames
+
+        def ctx_program(packed, ctx, ints, peaks):
+            variables = self._unpack(packed)
+            # contexts: first 200 frames, cyclically tiled if short
+            # (log-mag only: the Pallas path skips phase entirely)
+            pos = ctx[:, 0].astype(jnp.float32) / (peaks[:, 1:2] + 1e-6)
+            neg = ctx[:, 1].astype(jnp.float32) / (peaks[:, 2:3] + 1e-6)
+            n_pos, n_neg = ints[:, 1], ints[:, 2]
+            pos_lm = sp.log_spectrogram(pos, fl, fs, a.log_eps, impl=impl)
+            neg_lm = sp.log_spectrogram(neg, fl, fs, a.log_eps, impl=impl)
+            nf_pos = jnp.maximum(1 + jnp.maximum(n_pos - fl, 0) // fs, 1)
+            nf_neg = jnp.maximum(1 + jnp.maximum(n_neg - fl, 0) // fs, 1)
+            ar = jnp.arange(Fc, dtype=jnp.int32)[None, :]
+            idx_p = jnp.remainder(ar, nf_pos[:, None])
+            idx_n = jnp.remainder(ar, nf_neg[:, None])
+            ctx_a = jnp.take_along_axis(pos_lm, idx_p[:, :, None], axis=1)
+            ctx_b = jnp.take_along_axis(neg_lm, idx_n[:, :, None], axis=1)
+            return self.model.apply(variables, None, ctx_a, ctx_b, False)
+
+        return jax.jit(ctx_program)
+
+    def _encode_contexts(self, ctx: np.ndarray, ints: np.ndarray,
+                         peaks: np.ndarray):
+        """Device-resident (emb_a, emb_b) for packed context buffers,
+        memoized on the context bytes (bounded LRU)."""
+        B = ctx.shape[0]
+        import hashlib
+        h = hashlib.sha1(ctx.tobytes())
+        h.update(ints[:, 1:3].tobytes())
+        h.update(peaks[:, 1:3].tobytes())
+        key = (B, h.hexdigest())
+        hit = self._ctx_cache.get(key)
+        if hit is not None:
+            self._ctx_cache.move_to_end(key)
+            return hit
+        if B not in self._ctx_programs:
+            self._ctx_programs[B] = self._build_ctx_program(B)
+        embs = self._ctx_programs[B](self._param_args, jnp.asarray(ctx),
+                                     jnp.asarray(ints), jnp.asarray(peaks))
+        self._ctx_cache[key] = embs
+        while len(self._ctx_cache) > self._ctx_cache_max:
+            self._ctx_cache.popitem(last=False)
+        return embs
+
     # ------------------------------------------------------------------ #
     # public API
     # ------------------------------------------------------------------ #
@@ -307,9 +353,9 @@ class Enhancer:
                           self.cfg.audio.frame_step)
         ints[:, 3] = 0
         ints[:, 4] = F
-        outs = program(self._param_args, jnp.asarray(mixed),
-                       jnp.asarray(ctx), jnp.asarray(ints),
-                       jnp.asarray(peaks))
+        emb_a, emb_b = self._encode_contexts(ctx, ints, peaks)
+        outs = program(self._param_args, emb_a, emb_b, jnp.asarray(mixed),
+                       jnp.asarray(ints), jnp.asarray(peaks))
         return outs, nreal
 
     @staticmethod
@@ -409,10 +455,11 @@ class Enhancer:
             ctx[:, 1] = neg_b
             ints = np.stack([n_seg, np.full((B,), n_pos, np.int32),
                              np.full((B,), n_neg, np.int32),
-                             keep_from, keep_until], axis=1)
-            wavs, meta = program(self._param_args, jnp.asarray(seg),
-                                 jnp.asarray(ctx),
-                                 jnp.asarray(ints.astype(np.int32)),
+                             keep_from, keep_until], axis=1).astype(np.int32)
+            # contexts are identical across segments: encoded once (cache)
+            emb_a, emb_b = self._encode_contexts(ctx, ints, peaks)
+            wavs, meta = program(self._param_args, emb_a, emb_b,
+                                 jnp.asarray(seg), jnp.asarray(ints),
                                  jnp.asarray(peaks))
             wavs, meta = np.asarray(wavs), np.asarray(meta)
             den, mix = wavs[:, 0], wavs[:, 1]

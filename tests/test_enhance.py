@@ -95,3 +95,25 @@ def test_packed_params_match_plain(rng):
                                   out_plain["denoised"])
     np.testing.assert_array_equal(out_packed["mixed_processed"],
                                   out_plain["mixed_processed"])
+
+
+@pytest.mark.slow
+def test_ctx_cache_memoizes(rng):
+    """Same context bytes across calls -> one cached embedding entry
+    (same device buffers); different contexts -> distinct entries."""
+    cfg = Config.denoiser()
+    _, variables = init_variables(cfg, jax.random.PRNGKey(2), train=False)
+    enh = Enhancer(cfg, variables, window_chunk=32, buckets_seconds=(1,))
+    mixed1 = rng.standard_normal(8000) * 1000
+    mixed2 = rng.standard_normal(8000) * 1000
+    pos = np.zeros(4000)
+    neg1 = rng.standard_normal(5000) * 500
+    neg2 = rng.standard_normal(5000) * 500
+    enh.enhance(mixed1, pos, neg1)
+    assert len(enh._ctx_cache) == 1
+    (k1, e1), = enh._ctx_cache.items()
+    enh.enhance(mixed2, pos, neg1)          # same contexts, new utterance
+    assert list(enh._ctx_cache) == [k1]
+    assert enh._ctx_cache[k1][0] is e1[0]   # embeddings reused, not rebuilt
+    enh.enhance(mixed1, pos, neg2)          # different -context
+    assert len(enh._ctx_cache) == 2
