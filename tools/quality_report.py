@@ -54,22 +54,35 @@ def results_table(rows):
 
 
 def validate_table(records):
+    has_ac = any(r.get("si_sdr_ours_ac") is not None for r in records)
+    ac_hdr = " SI-SDR ours+ac→target |" if has_ac else ""
     lines = ["| Example | SI-SDR mixed→target | SI-SDR ours→target "
-             "| gain | SI-SDR golden→target | STOI ours | STOI golden |",
-             "|---|---|---|---|---|---|---|"]
+             "| gain |%s SI-SDR golden→target | STOI ours | STOI golden |"
+             % ac_hdr,
+             "|---|---|---|---|---|---|---|" + ("---|" if has_ac else "")]
+
+    def ac_cell(r, bold=False):
+        if not has_ac:
+            return ""
+        v = r.get("si_sdr_ours_ac")
+        s = ("%.2f" % v) if v is not None else "—"
+        return (" **%s** |" % s) if bold else (" %s |" % s)
+
     for r in records:
         # target-less examples (separator/selective dumps without a
         # target.wav) carry no SI-SDR fields — dash-fill instead of KeyError
         if r.get("si_sdr_mixed") is None or r.get("si_sdr_ours") is None:
-            lines.append("| {name} | — | — | — | — | — | — |".format(
-                name=r.get("example", "?")))
+            lines.append("| {name} | — | — | — |{ac} — | — | — |".format(
+                name=r.get("example", "?"),
+                ac=" — |" if has_ac else ""))
             continue
         lines.append(
-            "| {name} | {mix:.2f} | {ours:.2f} | {gain:+.2f} | {gold} "
+            "| {name} | {mix:.2f} | {ours:.2f} | {gain:+.2f} |{ac} {gold} "
             "| {stoi_ours} | {stoi_gold} |".format(
                 name=r["example"], mix=r["si_sdr_mixed"],
                 ours=r["si_sdr_ours"],
                 gain=r["si_sdr_ours"] - r["si_sdr_mixed"],
+                ac=ac_cell(r),
                 gold=("%.2f" % r["si_sdr_golden"])
                 if r.get("si_sdr_golden") is not None else "—",
                 stoi_ours=("%.3f" % r["stoi_ours"])
@@ -86,12 +99,15 @@ def validate_table(records):
             return float(np.mean(vals)) if vals else None
 
         gold = mean("si_sdr_golden")
+        ac_mean = mean("si_sdr_ours_ac")
         lines.append(
-            "| **mean** | **{:.2f}** | **{:.2f}** | **{:+.2f}** "
-            "| **{}** | | |".format(
+            "| **mean** | **{:.2f}** | **{:.2f}** | **{:+.2f}** |{ac} "
+            "**{}** | | |".format(
                 mean("si_sdr_mixed"), mean("si_sdr_ours"),
                 mean("si_sdr_ours") - mean("si_sdr_mixed"),
-                ("%.2f" % gold) if gold is not None else "—"))
+                ("%.2f" % gold) if gold is not None else "—",
+                ac=(" **%s** |" % ("%.2f" % ac_mean)
+                    if ac_mean is not None else " — |") if has_ac else ""))
     return "\n".join(lines)
 
 
