@@ -133,6 +133,11 @@ def main():
     p.add_argument("--speed_perturb", action="store_true", default=False,
                    help="add 0.9x/1.1x resampled copies of train speech "
                         "and noise (3x corpus)")
+    p.add_argument("--speech_perturb_factors", default="0.9,1.1",
+                   help="comma-separated speed factors for train SPEECH "
+                        "perturbation (each adds a tempo+pitch variant; "
+                        "more factors = more pseudo-speaker identities "
+                        "for the separator's embedding net)")
     p.add_argument("--silent_noises", type=int, default=6,
                    help="number of all-zero wavs pooled into noise/train "
                         "(reference corpus convention: SilentN files; "
@@ -174,7 +179,9 @@ def main():
         if os.path.exists(p_):
             _write_int16(p_, train_dir, f"spk{tag}_0.wav", segment=SEG)
     if args.speed_perturb:
-        _speed_perturb(train_dir)
+        _speed_perturb(train_dir,
+                       factors=tuple(float(f) for f in
+                                     args.speech_perturb_factors.split(",")))
 
     # --- speech/valid: selection set = selective-suppression targets
     sel = os.path.join(DEMO, "selective_noise_suppression")
