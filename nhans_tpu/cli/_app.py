@@ -28,9 +28,10 @@ def _sidecar(path: str, tag: str) -> str:
     return f"{base}_{tag}{ext or '.wav'}"
 
 
-def load_enhancer(cfg: Config, checkpoint: str, window_chunk: int = 2048):
+def load_enhancer(cfg: Config, checkpoint: str, window_chunk: int = 2048,
+                  buckets_seconds=None):
     import jax
-    from nhans_tpu.infer.enhance import Enhancer
+    from nhans_tpu.infer.enhance import DEFAULT_BUCKETS_SECONDS, Enhancer
     from nhans_tpu.models import init_variables
     from nhans_tpu.train.checkpoint import load_variables
 
@@ -43,7 +44,8 @@ def load_enhancer(cfg: Config, checkpoint: str, window_chunk: int = 2048):
               "weights (identity enhancement). Train a model or import the "
               "published TF checkpoint with nhans_tpu.compat.",
               file=sys.stderr)
-    return Enhancer(cfg, variables, window_chunk=window_chunk)
+    return Enhancer(cfg, variables, window_chunk=window_chunk,
+                    buckets_seconds=buckets_seconds or DEFAULT_BUCKETS_SECONDS)
 
 
 def _read(path: str, fs: int) -> np.ndarray:

@@ -98,6 +98,29 @@ def test_packed_params_match_plain(rng):
 
 
 @pytest.mark.slow
+def test_enhance_stream_matches_batch(rng):
+    """The pipelined stream (depth>1 program calls in flight) must yield
+    exactly the per-batch results, in submission order."""
+    cfg = Config.denoiser()
+    _, variables = init_variables(cfg, jax.random.PRNGKey(3), train=False)
+    enh = Enhancer(cfg, variables, window_chunk=32, buckets_seconds=(1,))
+    pos = np.zeros(4000)
+    batches = []
+    for i in range(3):
+        mixed = rng.standard_normal(8000) * (500 + 200 * i)
+        neg = rng.standard_normal(5000) * 300
+        batches.append(([mixed], [pos], [neg]))
+    streamed = list(enh.enhance_stream(iter(batches), depth=2))
+    assert len(streamed) == 3
+    for got, batch in zip(streamed, batches):
+        want = enh.enhance_batch(*batch)
+        np.testing.assert_array_equal(got["denoised"][0],
+                                      want["denoised"][0])
+        np.testing.assert_allclose(got["snr_est"], want["snr_est"],
+                                   rtol=1e-6)
+
+
+@pytest.mark.slow
 def test_ctx_cache_memoizes(rng):
     """Same context bytes across calls -> one cached embedding entry
     (same device buffers); different contexts -> distinct entries."""

@@ -66,6 +66,12 @@ def main():
                    help="also score the --ac energy-compensated output "
                         "(reference apply.py:463-472: denoised + removed "
                         "* snr_est/20), reported as *_ac keys")
+    p.add_argument("--buckets", default="",
+                   help="comma-separated length buckets in seconds (e.g. "
+                        "'8'): one shared bucket = one program compile for "
+                        "the whole set, at some padded-FLOP waste — useful "
+                        "when every bucket would cold-compile through the "
+                        "remote-TPU tunnel")
     args = p.parse_args()
 
     from nhans_tpu.cli._app import load_enhancer
@@ -75,7 +81,9 @@ def main():
 
     cfg = (Config.separator() if args.task == "separator"
            else Config.denoiser())
-    enh = load_enhancer(cfg, args.checkpoint)
+    buckets = ([float(b) for b in args.buckets.split(",")]
+               if args.buckets else None)
+    enh = load_enhancer(cfg, args.checkpoint, buckets_seconds=buckets)
 
     examples = find_examples(args.demo_root, args.task)
     if args.limit:
