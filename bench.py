@@ -178,6 +178,21 @@ def bench_suite(args) -> None:
         [rd(os.path.join(ss_aex, "target_speaker.wav"))],
         [rd(os.path.join(ss_aex, "noise_speaker.wav"))])
 
+    # 5. segmented long-audio (enhance_long): 5 minutes of real audio
+    # through the FIXED 32 s-segment programs with halo excision — the
+    # long-utterance scaling path (SURVEY.md §5), which bounds compiled
+    # program count regardless of duration
+    lm = rd(os.path.join(aex, "exp2_noisy.wav"))
+    ln = rd(os.path.join(aex, "exp2_noise.wav"))
+    n5 = 300 * 16000
+    long_mixed = np.tile(lm, -(-n5 // len(lm)))[:n5]
+    out = enh.enhance_long(long_mixed, silent, ln)      # compile + warm
+    assert np.isfinite(out["denoised"]).all()
+    t0 = time.perf_counter()
+    out = enh.enhance_long(long_mixed, silent, ln)
+    configs["long_audio_5min_segmented"] = round(
+        (n5 / 16000.0) / (time.perf_counter() - t0), 2)
+
     # These configs measure single-call/interactive latency on SHORT real
     # wavs (3-30 s of audio per call) — they are dispatch/transfer-bound,
     # not the batched-throughput regime of BASELINE.md's >=50x target
