@@ -14,6 +14,10 @@ from nhans_tpu.config import add_reference_flags, config_from_args
 
 
 def main() -> None:
+    # `kill -USR1 <pid>` on a live run dumps all thread stacks — the
+    # first diagnostic for a silent hang (utils/watchdog.py)
+    from nhans_tpu.utils.watchdog import install_stack_dump_signal
+    install_stack_dump_signal()
     p = argparse.ArgumentParser(prog="nhans_train")
     p.add_argument("--task", choices=("denoiser", "separator"),
                    default="denoiser")

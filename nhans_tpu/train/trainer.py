@@ -87,17 +87,25 @@ class Trainer:
         return {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
 
+    def _beat(self, phase: str) -> None:
+        hb = getattr(self, "_heartbeat", None)
+        if hb is not None:
+            hb.beat(phase)
+
     def save_and_eval(self, async_eval: bool = False) -> None:
         t = self.cfg.train
         if jax.process_index() == 0:
             print("Saving and restoring the model")
+        self._beat(f"save_and_eval(step {self.tstep}): device_get snapshot")
         # EVERY process participates in the save: Orbax coordinates the
         # write through jax.distributed barriers, and skipping it on
         # non-zero processes deadlocks/corrupts multi-host runs.  The
         # state is fully replicated, so the host snapshot is identical
         # on every process and Orbax's primary host does the writing.
         snapshot = jax.device_get(self.state)
+        self._beat(f"save_and_eval(step {self.tstep}): orbax save")
         self.ckpt.save(self.tstep, snapshot)
+        self._beat(f"save_and_eval(step {self.tstep}): eval")
         step = self.tstep
         if jax.process_index() != 0:
             return  # eval + wav dumps stay process-0 duties
@@ -156,6 +164,10 @@ class Trainer:
 
         profiling = False
         pending = []  # device scalars; only synced at monitor boundaries
+        # stall watchdog: a hung device call (dead remote tunnel) warns +
+        # dumps stacks instead of blocking silently (utils/watchdog.py)
+        from nhans_tpu.utils.watchdog import Heartbeat
+        self._heartbeat = Heartbeat(name="trainer").start()
         try:
             while self.tstep < t.batches:
                 # jax.profiler trace of steps ~10-20 (TPU timeline,
@@ -168,6 +180,7 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
                     print(f"profiler trace written to {t.profile_dir}")
+                self._beat(f"train step {self.tstep}")
                 t_in = time.perf_counter()
                 batch = next(stream)
                 input_wait = time.perf_counter() - t_in
@@ -195,9 +208,11 @@ class Trainer:
                 print("processing eval after training")
                 self.save_and_eval()
         finally:
+            self._beat("shutdown: join eval thread")
             th = getattr(self, "_eval_thread", None)
             if th is not None and th.is_alive():
                 th.join()
             loader.close()
             self.ckpt.wait()
             self.writer.close()
+            self._heartbeat.stop()
