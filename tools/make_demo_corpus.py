@@ -95,6 +95,63 @@ def _write_looped(src, dst_dir, name):
                   np.tile(x, reps)[:EVAL_LEN])
 
 
+def build_seen_eval(out_root, min_segments=2):
+    """Write ``speech/valid_seen`` + its manifest: a SEEN-SPEAKER
+    separator eval split.
+
+    With 17 training speakers the separator cannot learn
+    speaker-generalization (the published model saw thousands of
+    speakers), so the unseen-speaker valid split measures a wall that is
+    corpus-scale, not framework.  This split measures what IS learnable
+    here: separating *training* speakers in mixtures that never occurred
+    during training (EvalLoader pairs file i's speaker with file i+1's;
+    training pairs, offsets and SNRs are sampled independently).  Each
+    eval wav concatenates >=``min_segments`` unperturbed 4 s training
+    segments of one speaker; the eval protocol takes the 2 s context
+    from the head (segment 0) and scores the remainder.  This is a
+    training-distribution diagnostic, NOT held-out evidence — it is
+    reported as such (docs/QUALITY.md).
+
+    Additive: only creates ``valid_seen/`` + ``valid_seen.json``; safe to
+    run next to a live training process using the same corpus root.
+    """
+    import json
+    import re
+
+    import shutil
+
+    train_dir = os.path.join(out_root, "speech", "train")
+    dst = os.path.join(out_root, "speech", "valid_seen")
+    if os.path.isdir(dst):  # own output dir only; rest of corpus untouched
+        shutil.rmtree(dst)
+    by_spk = {}
+    for f in sorted(os.listdir(train_dir)):
+        m = re.match(r"(spk[a-z0-9]+)_", f)
+        if not m or "_sp" in f[len(m.group(1)):]:
+            continue  # perturbed copies duplicate material
+        if not m.group(1).endswith("t") and not m.group(1).endswith("i"):
+            continue
+        by_spk.setdefault(m.group(1), []).append(
+            os.path.join(train_dir, f))
+    os.makedirs(dst, exist_ok=True)
+    paths, n = [], 0
+    for spk, files in sorted(by_spk.items()):
+        if len(files) < min_segments:
+            continue
+        x = np.concatenate([_to_int16(p) for p in files[:4]])[:EVAL_LEN]
+        if len(x) < EVAL_LEN:  # eval protocol needs >= 10 s
+            x = np.tile(x, int(np.ceil(EVAL_LEN / len(x))))[:EVAL_LEN]
+        name = f"seen{n:02d}_{spk}.wav"
+        wavfile.write(os.path.join(dst, name), 16000, x)
+        paths.append(os.path.join(dst, name))
+        n += 1
+    with open(os.path.join(out_root, "speech", "valid_seen.json"),
+              "w") as f:
+        json.dump(paths, f, indent=1)
+    print(f"valid_seen: {n} seen-speaker eval wavs -> {dst}")
+    return paths
+
+
 def _speed_perturb(src_dir, factors=(0.9, 1.1)):
     """Kaldi-style speed perturbation of every wav in ``src_dir``:
     resample by 1/factor (tempo+pitch shift), written alongside the
@@ -142,7 +199,15 @@ def main():
                    help="number of all-zero wavs pooled into noise/train "
                         "(reference corpus convention: SilentN files; "
                         "teaches the silent-context regimes)")
+    p.add_argument("--only_seen_eval", action="store_true", default=False,
+                   help="only (re)build speech/valid_seen from an "
+                        "existing corpus at --out (additive; safe next "
+                        "to a live run) — the seen-speaker separator "
+                        "eval split, see build_seen_eval")
     args = p.parse_args()
+    if args.only_seen_eval:
+        build_seen_eval(args.out)
+        return
 
     speech = os.path.join(args.out, "speech")
     noise = os.path.join(args.out, "noise")
@@ -230,6 +295,7 @@ def main():
     from nhans_tpu.data.manifest import create_seeds
     sp = create_seeds(speech)
     ns = create_seeds(noise)
+    build_seen_eval(args.out)
     for k in ("train", "valid", "test"):
         print(f"{k}: {len(sp[k])} speech, {len(ns[k])} noise")
     print(f"corpus at {args.out}")
