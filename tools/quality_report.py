@@ -150,6 +150,9 @@ def main():
                    help="JSON list written by tools/validate_demo.py --json")
     p.add_argument("--separator_jsonl", default="",
                    help="separator-run metrics JSONL for SEPARATOR_TABLE")
+    p.add_argument("--separator_seen_jsonl", default="",
+                   help="seen-speaker sweep JSONL (tools/eval_checkpoints"
+                        ".py) for SEPARATOR_SEEN_TABLE")
     p.add_argument("--doc", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "QUALITY.md"))
@@ -169,6 +172,11 @@ def main():
         if srows:
             doc = splice(doc, "SEPARATOR_TABLE", separator_table(srows))
             print(f"separator table: {len(srows)} eval points")
+    if args.separator_seen_jsonl:
+        srows = load_eval_rows(args.separator_seen_jsonl)
+        if srows:
+            doc = splice(doc, "SEPARATOR_SEEN_TABLE", separator_table(srows))
+            print(f"separator seen table: {len(srows)} eval points")
     with open(args.doc, "w") as f:
         f.write(doc)
     print(f"wrote {args.doc}")
