@@ -40,8 +40,8 @@ def context_samples(cfg: Config) -> int:
 # length, so a 10 s utterance on a 16 s bucket would waste 60% of the
 # tower FLOPs.  ~1.2x geometric spacing caps waste at ~20%; programs are
 # compiled per (bucket, batch) and cached (incl. the persistent XLA cache).
-DEFAULT_BUCKETS_SECONDS = (1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32,
-                           40, 48, 64, 80, 96, 128)
+DEFAULT_BUCKETS_SECONDS = (1, 1.5, 2, 2.5, 3, 3.5, 4, 5, 6, 7, 8, 10, 12,
+                           16, 20, 24, 32, 40, 48, 64, 80, 96, 128)
 
 
 def _pack_variables(variables):
@@ -360,7 +360,10 @@ class Enhancer:
 
     @staticmethod
     def _materialize(outs, nreal) -> Dict[str, list]:
-        wavs, meta = outs
+        # one batched fetch: on a remote-attached chip every D2H is a
+        # full tunnel round trip (~15-25 ms); two serialized np.asarray
+        # calls here cost ~22 ms of pure latency per interactive call
+        wavs, meta = jax.device_get(outs)
         wavs, meta = np.asarray(wavs), np.asarray(meta)
         den, mix = wavs[:, 0], wavs[:, 1]
         scale, snr = meta[:, 0], meta[:, 1]
@@ -458,9 +461,10 @@ class Enhancer:
                              keep_from, keep_until], axis=1).astype(np.int32)
             # contexts are identical across segments: encoded once (cache)
             emb_a, emb_b = self._encode_contexts(ctx, ints, peaks)
-            wavs, meta = program(self._param_args, emb_a, emb_b,
-                                 jnp.asarray(seg), jnp.asarray(ints),
-                                 jnp.asarray(peaks))
+            wavs, meta = jax.device_get(
+                program(self._param_args, emb_a, emb_b,
+                        jnp.asarray(seg), jnp.asarray(ints),
+                        jnp.asarray(peaks)))
             wavs, meta = np.asarray(wavs), np.asarray(meta)
             den, mix = wavs[:, 0], wavs[:, 1]
             if den.dtype == np.int16:

@@ -152,13 +152,23 @@ def build_seen_eval(out_root, min_segments=2):
     return paths
 
 
-def _speed_perturb(src_dir, factors=(0.9, 1.1)):
+def _speed_perturb(src_dir, factors=(0.9, 1.1), pseudo=False):
     """Kaldi-style speed perturbation of every wav in ``src_dir``:
     resample by 1/factor (tempo+pitch shift), written alongside the
     originals.  Standard small-corpus augmentation; applied at corpus
     build so the training pipeline itself stays reference-faithful.
-    Speaker tags survive because the factor tag is appended AFTER the
-    ``spk<ID>_`` prefix."""
+
+    ``pseudo=False``: speaker tags survive (the factor tag is appended
+    AFTER the ``spk<ID>_`` prefix) — perturbed copies are extra material
+    for the SAME voice.  ``pseudo=True``: the factor tag is folded INTO
+    the speaker id (``spk<ID>p<tag>_``), so the speaker-aware separator
+    sampler (data/banks.py) treats each resampled voice as a DISTINCT
+    identity — resampling shifts pitch and formants together, which is
+    the standard pseudo-speaker recipe for thin separation corpora.  A
+    side effect is that spkA vs spkAp<tag> becomes a legal (and hard)
+    training mixture: near-identical timbre forces the net to rely on
+    the context embeddings instead of a voice prior."""
+    import re
     from fractions import Fraction
 
     from scipy.signal import resample_poly
@@ -173,6 +183,11 @@ def _speed_perturb(src_dir, factors=(0.9, 1.1)):
             y = resample_poly(x.astype(np.float64), up, dn)
             y = np.clip(np.rint(y), -32768, 32767).astype(np.int16)
             tag = str(fac).replace(".", "")
+            stem = f
+            if pseudo:
+                m = re.match(r"^(spk[A-Za-z0-9]+)(_.*)$", f)
+                if m:
+                    stem = f"{m.group(1)}p{tag}{m.group(2)}"
             # keep every piece within the SEG wire bucket (slowdown can
             # push a SEG-sized segment past it, which would bump every
             # train batch into the next padded-length bucket)
@@ -181,7 +196,7 @@ def _speed_perturb(src_dir, factors=(0.9, 1.1)):
                 if len(piece) < 16000:
                     continue
                 wavfile.write(os.path.join(
-                    src_dir, f[:-4] + f"_sp{tag}_{j}.wav"), rate, piece)
+                    src_dir, stem[:-4] + f"_sp{tag}_{j}.wav"), rate, piece)
 
 
 def main():
@@ -195,6 +210,12 @@ def main():
                         "perturbation (each adds a tempo+pitch variant; "
                         "more factors = more pseudo-speaker identities "
                         "for the separator's embedding net)")
+    p.add_argument("--pseudo_speakers", action="store_true", default=False,
+                   help="fold the speed-perturb factor tag into the "
+                        "speaker id (spk<ID>p<tag>_) so each resampled "
+                        "voice counts as a distinct identity for the "
+                        "separator's speaker-disjoint sampler — "
+                        "len(factors)+1 pseudo-speakers per real one")
     p.add_argument("--silent_noises", type=int, default=6,
                    help="number of all-zero wavs pooled into noise/train "
                         "(reference corpus convention: SilentN files; "
@@ -246,7 +267,8 @@ def main():
     if args.speed_perturb:
         _speed_perturb(train_dir,
                        factors=tuple(float(f) for f in
-                                     args.speech_perturb_factors.split(",")))
+                                     args.speech_perturb_factors.split(",")),
+                       pseudo=args.pseudo_speakers)
 
     # --- speech/valid: selection set = selective-suppression targets
     sel = os.path.join(DEMO, "selective_noise_suppression")
