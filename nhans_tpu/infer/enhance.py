@@ -430,8 +430,7 @@ class Enhancer:
         den_full = np.zeros(out_len, np.float64)
         mix_full = np.zeros(out_len, np.float64)
 
-        for i0 in range(0, len(cores), segment_batch):
-            group = cores[i0:i0 + segment_batch]
+        def dispatch_group(group):
             B = segment_batch
             seg = np.zeros((B, Lseg), np.int16)
             n_seg = np.zeros((B,), np.int32)
@@ -461,21 +460,36 @@ class Enhancer:
                              keep_from, keep_until], axis=1).astype(np.int32)
             # contexts are identical across segments: encoded once (cache)
             emb_a, emb_b = self._encode_contexts(ctx, ints, peaks)
-            wavs, meta = jax.device_get(
-                program(self._param_args, emb_a, emb_b,
-                        jnp.asarray(seg), jnp.asarray(ints),
-                        jnp.asarray(peaks)))
+            outs = program(self._param_args, emb_a, emb_b,
+                           jnp.asarray(seg), jnp.asarray(ints),
+                           jnp.asarray(peaks))
+            return outs, offsets, len(group)
+
+        def accumulate(outs, offsets, n_rows):
+            wavs, meta = jax.device_get(outs)
             wavs, meta = np.asarray(wavs), np.asarray(meta)
             den, mix = wavs[:, 0], wavs[:, 1]
             if den.dtype == np.int16:
                 inv = (1.0 / meta[:, 0]).astype(np.float32)
                 den = den.astype(np.float32) * inv[:, None]
                 mix = mix.astype(np.float32) * inv[:, None]
-            for j in range(len(group)):
+            for j in range(n_rows):
                 o = offsets[j]
                 span = min(den.shape[1], out_len - o)
                 den_full[o:o + span] += den[j, :span]
                 mix_full[o:o + span] += mix[j, :span]
+
+        # one-group lookahead: dispatch group k+1 (async) before fetching
+        # group k, so the per-group D2H round trip + host seg assembly
+        # overlap device execution instead of serializing with it
+        pending = None
+        for i0 in range(0, len(cores), segment_batch):
+            current = dispatch_group(cores[i0:i0 + segment_batch])
+            if pending is not None:
+                accumulate(*pending)
+            pending = current
+        if pending is not None:
+            accumulate(*pending)
 
         removed = mix_full - den_full
         snr_est = (np.mean(np.square(den_full))
