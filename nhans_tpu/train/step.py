@@ -103,7 +103,22 @@ def make_train_step(cfg: Config, model: NHANSNet, tx,
                 ex["mixed"], ex["ctx_a"], ex["ctx_b"], True,
                 mutable=["batch_stats"])
             denoised = ex["mixed"][:, W // 2, :] + res
-            loss, _ = freq_weighted_mse(denoised, ex["target"])
+            loss, ex_loss = freq_weighted_mse(denoised, ex["target"])
+            boost = cfg.train.clean_loss_boost
+            if boost > 0.0:
+                # Upweight windows whose central frame is already near
+                # the target (high local SNR): the identity mapping's
+                # natural MSE is tiny, so without this the optimizer
+                # trades it away for noisy-window gains and the model
+                # over-suppresses clean input at apply time
+                # (config.TrainConfig.clean_loss_boost).
+                d = jnp.mean(jnp.abs(ex["mixed"][:, W // 2, :]
+                                     - ex["target"]), axis=-1)
+                wts = 1.0 + boost * jax.nn.sigmoid(
+                    (cfg.train.clean_loss_dist - d)
+                    / cfg.train.clean_loss_scale)
+                wts = wts / jnp.mean(wts)
+                loss = jnp.mean(ex_loss * wts)
             return loss, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(

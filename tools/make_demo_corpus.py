@@ -216,6 +216,20 @@ def main():
                         "voice counts as a distinct identity for the "
                         "separator's speaker-disjoint sampler — "
                         "len(factors)+1 pseudo-speakers per real one")
+    p.add_argument("--sns_train", action="store_true", default=False,
+                   help="pool the Selective_Noise_Suppression_samples "
+                        "(snsExample*) material into TRAIN: targets + "
+                        "denoised of speakers NOT in valid/test (adds "
+                        "in-domain LibriSpeech read speech; train is "
+                        "otherwise all VoxCeleb-style) and pos/neg "
+                        "noise recordings whose AudioSet IDs appear in "
+                        "neither eval split (leak-checked by ID)")
+    p.add_argument("--separator_holdout", type=int, default=0,
+                   help="hold the LAST N separation examples' voices "
+                        "out of train and build speech/valid_sep from "
+                        "them: a same-domain unseen-speaker separator "
+                        "eval split (2N voices, alternating "
+                        "target/interferer order)")
     p.add_argument("--silent_noises", type=int, default=6,
                    help="number of all-zero wavs pooled into noise/train "
                         "(reference corpus convention: SilentN files; "
@@ -248,15 +262,53 @@ def main():
     train_dir = os.path.join(speech, "train")
     examples = sorted(d for d in os.listdir(ss)
                       if os.path.isdir(os.path.join(ss, d)))
+    # --separator_holdout N: the LAST N examples' voices never enter
+    # train; they become speech/valid_sep — a SAME-DOMAIN unseen-speaker
+    # separator eval (the published protocol holds out speakers within
+    # one corpus, LibriSpeech train vs test; the LibriSpeech-read-speech
+    # "valid" split crosses domains from the VoxCeleb-style training
+    # voices, which confounds speaker-generalization with domain
+    # transfer — docs/QUALITY.md round-2 analysis).
+    held = examples[len(examples) - args.separator_holdout:] \
+        if args.separator_holdout else []
+    valid_sep = []  # (voice_name, [source paths]) in alternating order
     for i, ex in enumerate(examples):
         exdir = os.path.join(ss, ex)
         tgt_side = (_collect(exdir, "target") + _collect(exdir, "denoised")
                     + _collect(exdir, "posNoise"))
         intf_side = _collect(exdir, "negNoise")
+        if ex in held:
+            # the example dirs ship denoised + mixed only, so each
+            # example contributes ONE clean voice (the extracted
+            # target); the interferer exists only inside `mixed`
+            for voice, side in ((f"spks{i}t", tgt_side),
+                                (f"spks{i}i", intf_side)):
+                if side:
+                    valid_sep.append((voice, side))
+            continue
         for j, p_ in enumerate(tgt_side):
             _write_int16(p_, train_dir, f"spks{i}t_{j}.wav", segment=SEG)
         for j, p_ in enumerate(intf_side):
             _write_int16(p_, train_dir, f"spks{i}i_{j}.wav", segment=SEG)
+    if valid_sep:
+        import json as _json
+        vs_dir = os.path.join(speech, "valid_sep")
+        os.makedirs(vs_dir, exist_ok=True)
+        vs_paths = []
+        # alternating t/i voices: EvalLoader pairs utterance i with i+1
+        # (wraparound), so consecutive entries being different voices
+        # makes every eval mixture a genuine two-speaker problem
+        for n, (voice, paths) in enumerate(valid_sep):
+            x = np.concatenate([_to_int16(p_) for p_ in paths])
+            if len(x) < EVAL_LEN:
+                x = np.tile(x, int(np.ceil(EVAL_LEN / len(x))))
+            name = f"sep{n:02d}_{voice}.wav"
+            wavfile.write(os.path.join(vs_dir, name), 16000, x[:EVAL_LEN])
+            vs_paths.append(os.path.join(vs_dir, name))
+        with open(os.path.join(speech, "valid_sep.json"), "w") as f:
+            _json.dump(vs_paths, f, indent=1)
+        print(f"valid_sep: {len(vs_paths)} held-out same-domain voices "
+              f"(examples {sorted(held)}) -> {vs_dir}")
     ss_aex = os.path.join(REF, "N_HANS___Source_Separation",
                           "audio_examples")
     for f, tag in (("target_speaker.wav", "aext"),
@@ -264,6 +316,50 @@ def main():
         p_ = os.path.join(ss_aex, f)
         if os.path.exists(p_):
             _write_int16(p_, train_dir, f"spk{tag}_0.wav", segment=SEG)
+    # --- optional: snsExample* material -> train (leak-checked).  The
+    # sns samples partially duplicate the selective (valid) examples, so
+    # both the LibriSpeech speaker id and the two AudioSet noise ids of
+    # every candidate are checked against BOTH eval splits before use.
+    sns_train_noise = []
+    if args.sns_train:
+        import re as _re
+        sel_dir = os.path.join(DEMO, "selective_noise_suppression")
+        dn_dir = os.path.join(DEMO, "denoising")
+        eval_spk, eval_nid = set(), set()
+        for d in (sel_dir, dn_dir):
+            for _dp, _dd, files in os.walk(d):
+                for f in files:
+                    m = _re.search(r"_(\d+)-\d+-\d+_", f)
+                    if m:
+                        eval_spk.add(m.group(1))
+                    # AudioSet ids are fixed 11 chars and may contain
+                    # "_", so split-by-underscore cannot parse them.
+                    # Lookbehind anchor: back-to-back "_id_off_id_off_"
+                    # pairs share a "_" that a consuming match would eat
+                    for m in _re.finditer(r"(?<=_)(.{11})_\d+\.\d{3}_", f):
+                        eval_nid.add(m.group(1))
+        sns = os.path.join(DEMO, "Selective_Noise_Suppression_samples")
+        pat = _re.compile(
+            r"snsExample(\d+)_(\d+)-\d+-\d+_(.{11})_[\d.]+_(.{11})_[\d.]+"
+            r"_-?\d+_-?\d+_(target|denoised|posNoise|negNoise)\.wav$")
+        n_sp, n_ns = 0, 0
+        for f in sorted(os.listdir(sns)):
+            m = pat.match(f)
+            if not m:
+                continue
+            exn, spk, pos_id, neg_id, kind = m.groups()
+            path = os.path.join(sns, f)
+            if kind in ("target", "denoised") and spk not in eval_spk:
+                _write_int16(path, train_dir,
+                             f"spklib{spk}_{exn}{kind[0]}.wav", segment=SEG)
+                n_sp += 1
+            nid = {"posNoise": pos_id, "negNoise": neg_id}.get(kind)
+            if nid and nid not in eval_nid:
+                sns_train_noise.append(path)
+                n_ns += 1
+        print(f"sns_train: +{n_sp} speech wavs (speakers not in "
+              f"{sorted(eval_spk)}), +{n_ns} noise recordings")
+
     if args.speed_perturb:
         _speed_perturb(train_dir,
                        factors=tuple(float(f) for f in
@@ -287,6 +383,7 @@ def main():
         p_ = os.path.join(AEX, f)
         if os.path.exists(p_):
             train_noise.append(p_)
+    train_noise.extend(sns_train_noise)
     for i, p_ in enumerate(train_noise):
         _write_int16(p_, os.path.join(noise, "train"), f"ns{i:03d}.wav",
                      segment=SEG)
