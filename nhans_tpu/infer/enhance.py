@@ -38,9 +38,12 @@ def context_samples(cfg: Config) -> int:
 
 # Finer steps than powers of two: window compute scales with the bucket
 # length, so a 10 s utterance on a 16 s bucket would waste 60% of the
-# tower FLOPs.  ~1.2x geometric spacing caps waste at ~20%; programs are
+# tower FLOPs.  Quarter-second steps in the 1-4 s interactive range
+# (CLI single-call latency is exec-bound there; 3.10 s exp2 on a 3.5 s
+# bucket wasted 13% of the tower), ~1.2x geometric above; programs are
 # compiled per (bucket, batch) and cached (incl. the persistent XLA cache).
-DEFAULT_BUCKETS_SECONDS = (1, 1.5, 2, 2.5, 3, 3.5, 4, 5, 6, 7, 8, 10, 12,
+DEFAULT_BUCKETS_SECONDS = (1, 1.25, 1.5, 1.75, 2, 2.25, 2.5, 2.75, 3,
+                           3.25, 3.5, 3.75, 4, 5, 6, 7, 8, 10, 12,
                            16, 20, 24, 32, 40, 48, 64, 80, 96, 128)
 
 
@@ -121,9 +124,12 @@ class Enhancer:
         fl, fs = a.frame_length, a.frame_step
         impl = sp.resolve_stft_impl(a.stft_impl)
         F = sp.num_frames(num_samples, fl, fs)
-        # clamp the chunk to the actual window count (rounded to the MXU
-        # batch granule) so small programs don't pad 2048-wide chunks
-        WC = min(self.window_chunk, max(256, -(-(batch * F) // 256) * 256))
+        # clamp the chunk to the actual window count (rounded to a
+        # 128-window granule — conv batch dims only need 8-row sublane
+        # multiples, and a 256 granule padded the interactive regime's
+        # ~320-window programs by 58%) so small programs don't pad
+        # 2048-wide chunks
+        WC = min(self.window_chunk, max(128, -(-(batch * F) // 128) * 128))
         W = m.window_frames
         ctx_n = context_samples(cfg)
         Fc = sp.num_frames(ctx_n, fl, fs)  # == context_frames

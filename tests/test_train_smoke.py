@@ -56,3 +56,74 @@ def test_train_step_updates_and_loss_finite():
     assert np.abs(bs1 - bs0).max() > 0
     # params stay replicated, loss is a replicated scalar
     assert metrics["loss"].shape == ()
+
+
+@pytest.mark.slow
+def test_clean_loss_boost_reweights_not_rescales():
+    """--clean_loss_boost: boosted loss differs from the plain loss on a
+    mixed-cleanness batch, the weights are mean-normalized (a batch of
+    IDENTICAL windows gives the plain loss back exactly), and gradients
+    stay finite (config.TrainConfig.clean_loss_boost)."""
+    base = Config.denoiser()
+    base = base.replace(
+        data=dataclasses.replace(base.data, max_samples=16000,
+                                 slices_per_step=2),
+        train=dataclasses.replace(base.train, alg="adam", lr=1e-3))
+    # clean_loss_dist's default (0.25) is calibrated for real
+    # peak-normalized speech+noise; this test's pure-tone "clean" has
+    # mostly silent bins where log_eps dominates, pushing the distance
+    # to ~9-11.5, so point the sigmoid midpoint at that range (the
+    # mechanics under test — reweighting + mean normalization — are
+    # calibration-independent)
+    boosted = base.replace(
+        train=dataclasses.replace(base.train, clean_loss_boost=3.0,
+                                  clean_loss_dist=10.5,
+                                  clean_loss_scale=0.5))
+
+    model, state, tx = create_state(base, jax.random.PRNGKey(0))
+    step_plain = make_train_step(base, model, tx, donate=False)
+    step_boost = make_train_step(boosted, model, tx, donate=False)
+
+    rng = np.random.default_rng(1)
+    B, L = 2, base.data.max_samples
+    t = np.arange(L) / 16000.0
+    clean = (np.stack([np.sin(2 * np.pi * 440 * t),
+                       np.sin(2 * np.pi * 220 * t)]) * 3000)
+    noisy_batch = {
+        # row 0 nearly clean (tiny noise), row 1 heavily noisy: windows
+        # span the cleanness range, so the sigmoid weights differ.  The
+        # noise must ride noise_b (NEG, suppressed): the denoiser target
+        # is clean + pos, so noise_a alone gives mixed == target
+        "clean": clean.astype(np.float32),
+        "noise_a": np.zeros((B, L), np.float32),
+        "noise_b": np.stack([
+            rng.standard_normal(L) * 10,
+            rng.standard_normal(L) * 3000]).astype(np.float32),
+        "clean_len": np.full((B,), L, np.int32),
+        "len_a": np.full((B,), L, np.int32),
+        "len_b": np.full((B,), L, np.int32),
+    }
+    # the per-row SNR draw decides window cleanness; rows drawing the
+    # SAME snr get equal weights (normalized away, losses match) — try
+    # a few keys so at least one draw splits the rows
+    diffs = []
+    for seed in range(5):
+        key = jax.random.PRNGKey(seed)
+        _, m_plain = step_plain(state, noisy_batch, key)
+        _, m_boost = step_boost(state, noisy_batch, key)
+        lp, lb = float(m_plain["loss"]), float(m_boost["loss"])
+        assert np.isfinite(lp) and np.isfinite(lb)
+        assert float(m_boost["grad_norm"]) > 0
+        diffs.append(lp != lb)
+    assert any(diffs)  # reweighting changed the objective
+    key = jax.random.PRNGKey(0)
+
+    # equal-cleanness batch: with all-zero noise (the silent-noise
+    # regime) every window is exactly clean, so every weight is equal
+    # and the mean normalization cancels — boosted == plain exactly
+    same_batch = dict(noisy_batch)
+    same_batch["noise_b"] = np.zeros((B, L), np.float32)
+    _, m_p2 = step_plain(state, same_batch, key)
+    _, m_b2 = step_boost(state, same_batch, key)
+    np.testing.assert_allclose(float(m_p2["loss"]), float(m_b2["loss"]),
+                               rtol=2e-5)
