@@ -173,7 +173,7 @@ class Evaluator:
         metric BASELINE.md tracks (the reference only prints loss)."""
         from nhans_tpu.utils.scoring import estoi, pesq_score, si_sdr, stoi
         losses, counts = [], []
-        sisdr_out, sisdr_in = [], []
+        sisdr_out, sisdr_in, sisdr_conf = [], [], []
         stoi_out, stoi_in, pesq_out = [], [], []
         estoi_out, estoi_in = [], []
         fs = self.cfg.audio.sample_rate
@@ -234,6 +234,14 @@ class Evaluator:
                 tgt = host_wavs["target"][r, :n]
                 sisdr_out.append(si_sdr(den, tgt))
                 sisdr_in.append(si_sdr(mix, tgt))
+                if not self.cfg.task.two_noise_mixing:
+                    # separator confusion diagnostic: SI-SDR of the
+                    # output against the INTERFERER (= mixed - target).
+                    # out-vs-interferer > out-vs-target flags
+                    # wrong-speaker extraction — a conditioning/
+                    # discrimination failure, distinct from low
+                    # separation fidelity (docs/QUALITY.md round 2)
+                    sisdr_conf.append(si_sdr(den, mix - tgt))
                 s = stoi(den, tgt, fs)
                 if np.isfinite(s):
                     stoi_out.append(s)
@@ -282,6 +290,10 @@ class Evaluator:
             "si_sdr_mixed": float(np.mean(sisdr_in)) if sisdr_in else 0.0,
         }
         metrics["si_sdr_gain"] = metrics["si_sdr"] - metrics["si_sdr_mixed"]
+        if sisdr_conf:
+            metrics["si_sdr_interferer"] = float(np.mean(sisdr_conf))
+            metrics["confused_utts"] = int(sum(
+                c > o for c, o in zip(sisdr_conf, sisdr_out)))
         print(f"si_sdr: {metrics['si_sdr']:.2f} dB "
               f"(mixed: {metrics['si_sdr_mixed']:.2f} dB, "
               f"gain: {metrics['si_sdr_gain']:+.2f} dB)")
