@@ -112,16 +112,30 @@ def validate_table(records):
 
 
 def separator_table(rows):
-    lines = ["| Step | Eval loss | SI-SDR out (dB) | SI-SDR mixed (dB) "
-             "| SI-SDR gain (dB) |",
-             "|---|---|---|---|---|"]
+    # confusion columns (si_sdr_interferer / confused_utts) appear when
+    # the run recorded them (Evaluator separator diagnostic)
+    conf = any("si_sdr_interferer" in r for r in rows)
+    head = ("| Step | Eval loss | SI-SDR out (dB) | SI-SDR mixed (dB) "
+            "| SI-SDR gain (dB) |")
+    sep = "|---|---|---|---|---|"
+    if conf:
+        head += " SI-SDR vs interferer (dB) | confused |"
+        sep += "---|---|"
+    lines = [head, sep]
     for r in rows:
-        lines.append(
-            "| {step} | {loss:.4f} | {si_sdr:.2f} | {mix:.2f} "
-            "| {gain:+.2f} |".format(
-                step=r["step"], loss=r.get("eval_loss", r.get("loss", 0.0)),
-                si_sdr=r["si_sdr"], mix=r["si_sdr_mixed"],
-                gain=r["si_sdr_gain"]))
+        cells = ("| {step} | {loss:.4f} | {si_sdr:.2f} | {mix:.2f} "
+                 "| {gain:+.2f} |".format(
+                     step=r["step"],
+                     loss=r.get("eval_loss", r.get("loss", 0.0)),
+                     si_sdr=r["si_sdr"], mix=r["si_sdr_mixed"],
+                     gain=r["si_sdr_gain"]))
+        if conf:
+            if "si_sdr_interferer" in r:
+                cells += " {:.2f} | {:d} |".format(
+                    r["si_sdr_interferer"], int(r.get("confused_utts", 0)))
+            else:
+                cells += " — | — |"
+        lines.append(cells)
     return "\n".join(lines)
 
 
