@@ -55,3 +55,22 @@ def test_stack_dump_signal_installs(capfd):
     finally:
         import faulthandler
         faulthandler.unregister(signal.SIGUSR2)
+
+
+def test_heartbeat_abort_exits_process():
+    """abort_after escalation: a stalled process exits with code 86
+    (supervised-restart contract) instead of hanging forever."""
+    import subprocess
+    import sys
+    code = (
+        "import time, sys\n"
+        "from nhans_tpu.utils.watchdog import Heartbeat\n"
+        "hb = Heartbeat(name='t', timeout=0.3, dump_stacks=False,\n"
+        "               abort_after=0.8)\n"
+        "hb.start()\n"
+        "time.sleep(60)\n"   # never beats: watchdog must abort us
+        "sys.exit(0)\n")
+    rc = subprocess.run([sys.executable, "-c", code],
+                        capture_output=True, text=True, timeout=120)
+    assert rc.returncode == 86, (rc.returncode, rc.stderr[-400:])
+    assert "supervised restart" in rc.stderr
