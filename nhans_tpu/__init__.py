@@ -20,6 +20,27 @@ separation; see reference README.md:11), designed TPU-first:
 import os as _os
 
 
+def _apply_platform_override() -> None:
+    """Honor ``NHANS_PLATFORM`` (e.g. ``cpu``) before backend init.
+
+    Operational necessity on hosts where a platform *plugin* (like a
+    remote-TPU tunnel) wins over the standard ``JAX_PLATFORMS`` env var:
+    running any tool against the accelerator while a training process
+    owns it serializes both and can wedge the tunnel.  Setting
+    ``NHANS_PLATFORM=cpu`` pins this process to CPU the supported way —
+    ``jax.config.update`` at package import, before any backend exists.
+    No-op when unset.
+    """
+    plat = _os.environ.get("NHANS_PLATFORM", "").strip()
+    if not plat:
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    except Exception:  # pragma: no cover - best-effort, like the cache
+        pass
+
+
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache (safe no-op if unavailable).
 
@@ -41,6 +62,7 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+_apply_platform_override()
 _enable_compilation_cache()
 
 from nhans_tpu.version import __version__  # noqa: E402
