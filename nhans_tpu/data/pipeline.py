@@ -68,6 +68,25 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
     noise_a = noise_a.astype(jnp.float32)
     noise_b = noise_b.astype(jnp.float32)
 
+    # Statically align noise buffers to the speech wire length: the
+    # device-resident banks pad each corpus to ITS OWN longest file, so
+    # a noise corpus longer than the speech bucket (or vice versa)
+    # otherwise shape-errors in mixing.  Longer: keep the first L
+    # samples and clamp the valid length (the mixer loops/trims to
+    # clean_len anyway, reference reader.py:132-144); shorter: zero-pad
+    # (loop_or_trim cycles within the valid length, padding is inert).
+    def _fit(noise, nlen):
+        nL = noise.shape[-1]
+        if nL > L:
+            return noise[..., :L], jnp.minimum(
+                jnp.asarray(nlen, jnp.int32), L)
+        if nL < L:
+            return jnp.pad(noise, ((0, 0), (0, L - nL))), nlen
+        return noise, nlen
+
+    noise_a, len_a = _fit(noise_a, len_a)
+    noise_b, len_b = _fit(noise_b, len_b)
+
     if cfg.data.augment_noise and task.two_noise_mixing:
         # on-device noise augmentation (no reference counterpart —
         # documented divergence, docs/PARITY.md): random circular shift,

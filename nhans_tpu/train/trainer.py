@@ -72,12 +72,38 @@ class Trainer:
 
     def _restore(self) -> None:
         t = self.cfg.train
-        template = jax.tree_util.tree_map(np.asarray, self.state)
+        # Abstract (shape/dtype) restore template: materializing the
+        # initial state to host here would be a ~350 MB device->host
+        # fetch of weights about to be overwritten — pure startup cost
+        # (and a stall surface on a degraded device tunnel).
+        abstract = lambda tree: jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x),
+                                           np.result_type(x)), tree)
+        template = abstract(self.state)
         if t.restore_path:
             print(f"Restoring model from {t.restore_path}")
             from nhans_tpu.train.checkpoint import load_variables
-            self.state = load_variables(t.restore_path, template)
-            self.tstep = int(np.asarray(self.state.step))
+            try:
+                self.state = load_variables(t.restore_path, template)
+                self.tstep = int(np.asarray(self.state.step))
+            except (ValueError, TypeError, KeyError):
+                # Inference-vars-only checkpoint (params + batch_stats —
+                # e.g. an unpacked release .npz, tools/ckpt_npz.py):
+                # graft the variables onto the fresh state and fine-tune
+                # from step 0 with a fresh optimizer.  Mirrors the
+                # reference's Saver variables-only restore semantics
+                # (reference main.py:428-432, step parsed from the
+                # filename rather than stored).
+                infer = load_variables(
+                    t.restore_path,
+                    {"params": abstract(self.state.params),
+                     "batch_stats": abstract(self.state.batch_stats)})
+                self.state = self.state.replace(
+                    params=infer["params"],
+                    batch_stats=infer["batch_stats"])
+                self.tstep = 0
+                print("Restored inference variables only "
+                      "(fine-tune: fresh optimizer, step 0)")
         elif self.ckpt.latest_step() is not None:
             step, self.state = self.ckpt.restore(template=template)
             self.tstep = step

@@ -213,3 +213,25 @@ def test_noise_augmentation_is_peak_invariant(rng):
     # SNRs still drawn from the task set
     assert set(np.asarray(ex1["snr_a"]).tolist()) <= set(
         float(s) for s in cfg.task.snr_set)
+
+
+def test_train_batch_mismatched_noise_wire_length(rng):
+    """Device-corpus banks pad each corpus to ITS OWN longest file, so
+    the noise wire length can differ from the speech bucket (e.g. long
+    procedural noises from tools/synth_noises.py).  make_train_batch
+    must statically align: trim longer noise buffers (clamping the
+    valid length), zero-pad shorter ones (pipeline.py _fit)."""
+    cfg = _cfg()
+    B, L, K = 2, cfg.data.max_samples, cfg.data.slices_per_step
+    clean = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32) * 1000)
+    key = jax.random.PRNGKey(3)
+    for LN in (L + 32000, L // 2):  # longer and shorter than speech
+        noise = jnp.asarray(
+            rng.standard_normal((B, LN)).astype(np.float32) * 1000)
+        ex = make_train_batch(cfg, key, clean, noise, noise,
+                              clean_len=jnp.asarray([L, 20000]),
+                              len_a=jnp.asarray([LN, 10000]),
+                              len_b=jnp.asarray([min(LN, 8000), LN]))
+        assert ex["mixed"].shape == (B * K, 35, 201)
+        for v in ex.values():
+            assert np.isfinite(np.asarray(v)).all()

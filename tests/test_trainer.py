@@ -63,3 +63,43 @@ def test_trainer_end_to_end_and_resume(tmp_path):
     assert tr2.tstep == 4
     tr2.ckpt.close()
     tr.ckpt.close()
+
+
+@pytest.mark.slow
+def test_restore_path_inference_vars_only(tmp_path):
+    """--restore_path on an inference-vars-only checkpoint (params +
+    batch_stats, e.g. an unpacked release .npz from tools/ckpt_npz.py)
+    grafts the variables onto a fresh optimizer at step 0 — the
+    fine-tune path, mirroring the reference Saver's variables-only
+    restore semantics (reference main.py:428-432)."""
+    import jax
+
+    from nhans_tpu.train.checkpoint import save_variables
+    from nhans_tpu.train.trainer import Trainer
+
+    cfg = _small_cfg(tmp_path)
+    src_tr = Trainer(cfg, eval_utts=1,
+                     eval_kwargs=dict(window_chunk=32,
+                                      buckets_seconds=(2.005,)))
+    # perturb every param leaf so the graft is observable everywhere
+    variables = {
+        "params": jax.tree_util.tree_map(
+            lambda x: np.asarray(x) + 0.125, src_tr.state.params),
+        "batch_stats": jax.tree_util.tree_map(
+            np.asarray, src_tr.state.batch_stats)}
+    vdir = str(tmp_path / "vars_only")
+    save_variables(vdir, variables)
+    src_tr.ckpt.close()
+
+    cfg2 = cfg.replace(train=dataclasses.replace(
+        cfg.train, restore_path=vdir,
+        checkpoint_dir=str(tmp_path / "ck2")))
+    tr = Trainer(cfg2, eval_utts=1,
+                 eval_kwargs=dict(window_chunk=32, buckets_seconds=(2.005,)))
+    assert tr.tstep == 0  # fine-tune restarts the step counter
+    got = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, tr.state.params))
+    want = jax.tree_util.tree_leaves(variables["params"])
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w)
+    tr.ckpt.close()
