@@ -76,10 +76,12 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
     # clean_len anyway, reference reader.py:132-144); shorter: zero-pad
     # (loop_or_trim cycles within the valid length, padding is inert).
     def _fit(noise, nlen):
+        # int32 on every branch so the jitted input signature (and the
+        # compile-cache entry) is branch-independent for identical data
+        nlen = jnp.asarray(nlen, jnp.int32)
         nL = noise.shape[-1]
         if nL > L:
-            return noise[..., :L], jnp.minimum(
-                jnp.asarray(nlen, jnp.int32), L)
+            return noise[..., :L], jnp.minimum(nlen, L)
         if nL < L:
             return jnp.pad(noise, ((0, 0), (0, L - nL))), nlen
         return noise, nlen

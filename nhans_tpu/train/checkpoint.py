@@ -67,16 +67,15 @@ def save_variables(path: str, variables: Any) -> None:
     ckptr.close()
 
 
-def load_variables(path: str, template: Any = None) -> Any:
-    """One-shot restore of inference variables.
+def _resolve(path: str) -> str:
+    """Resolve a user-supplied checkpoint path to the actual pytree dir.
 
-    Accepts either a directory written by ``save_variables`` or a
-    Checkpointer step directory.
+    Accepts a directory written by ``save_variables``, a Checkpointer
+    step directory, or a CheckpointManager ROOT (ckdir or
+    ckdir/<model_name>) — descending to the LATEST numeric step so CLIs
+    can just point at the training --checkpoint_dir.
     """
     path = os.path.abspath(path)
-    # Accept a CheckpointManager ROOT (ckdir or ckdir/<model_name>) too:
-    # descend to the LATEST numeric step so CLIs can just point at the
-    # training --checkpoint_dir.
     for _ in range(3):
         if (os.path.isdir(os.path.join(path, "default"))
                 or os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
@@ -94,6 +93,67 @@ def load_variables(path: str, template: Any = None) -> Any:
     # CheckpointManager step dirs nest the pytree under 'default'
     if os.path.isdir(os.path.join(path, "default")):
         path = os.path.join(path, "default")
+    return path
+
+
+def checkpoint_keys(path: str) -> frozenset:
+    """Top-level pytree keys of an on-disk checkpoint, WITHOUT restoring
+    payloads (reads the Orbax tree metadata only).
+
+    Lets callers branch explicitly on checkpoint KIND — a full train
+    state carries 'opt_state'/'step'; an inference-vars checkpoint only
+    'params'/'batch_stats' — instead of exception-chained dispatch.
+    """
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        tree = ckptr.metadata(_resolve(path)).item_metadata.tree
+    finally:
+        ckptr.close()
+    return frozenset(tree) if isinstance(tree, dict) else frozenset()
+
+
+def _validate_leaves(template: Any, restored: Any, path: str) -> None:
+    """Raise ValueError if restored leaf shapes/dtypes disagree with the
+    abstract template (guards the raw-restore fallback, which otherwise
+    grafts wrong-shaped params that only fail later as an opaque XLA
+    shape error)."""
+    import numpy as np
+
+    errs = []
+
+    def _check(kp, t, r):
+        name = jax.tree_util.keystr(kp)
+        tshape = tuple(getattr(t, "shape", np.shape(t)))
+        rshape = tuple(np.shape(r))
+        if tshape != rshape:
+            errs.append(f"{name}: shape {rshape} != expected {tshape}")
+            return r
+        tdt = getattr(t, "dtype", None)
+        rdt = getattr(r, "dtype", None)
+        if tdt is not None and rdt is not None and \
+                np.dtype(tdt) != np.dtype(rdt):
+            errs.append(f"{name}: dtype {rdt} != expected {tdt}")
+        return r
+
+    try:
+        jax.tree_util.tree_map_with_path(_check, template, restored)
+    except ValueError as struct_err:
+        raise ValueError(
+            f"checkpoint at {path} has a different tree structure than "
+            f"the model: {struct_err}") from struct_err
+    if errs:
+        raise ValueError(
+            f"checkpoint at {path} does not match the model "
+            f"({len(errs)} mismatched leaves): " + "; ".join(errs[:8]))
+
+
+def load_variables(path: str, template: Any = None) -> Any:
+    """One-shot restore of inference variables.
+
+    Accepts either a directory written by ``save_variables`` or a
+    Checkpointer step directory (see ``_resolve``).
+    """
+    path = _resolve(path)
     ckptr = ocp.StandardCheckpointer()
     try:
         if template is not None:
@@ -110,6 +170,7 @@ def load_variables(path: str, template: Any = None) -> Any:
                         f"{sorted(set(template) - set(raw))}; original "
                         f"restore error: {restore_err}") from restore_err
                 out = {k: raw[k] for k in template}
+                _validate_leaves(template, out, path)
         else:
             out = ckptr.restore(path)
     finally:

@@ -82,14 +82,20 @@ class Trainer:
         template = abstract(self.state)
         if t.restore_path:
             print(f"Restoring model from {t.restore_path}")
-            from nhans_tpu.train.checkpoint import load_variables
-            try:
+            from nhans_tpu.train.checkpoint import (checkpoint_keys,
+                                                    load_variables)
+            # Branch on checkpoint KIND read from the on-disk metadata
+            # (full train state carries opt_state+step; an inference-vars
+            # checkpoint — e.g. an unpacked release .npz, tools/ckpt_npz.py
+            # — only params+batch_stats).  A genuine restore failure
+            # (corruption, shape mismatch) then propagates with Orbax's
+            # error instead of being silently rerouted to the other path.
+            keys = checkpoint_keys(t.restore_path)
+            if {"opt_state", "step"} <= keys:
                 self.state = load_variables(t.restore_path, template)
                 self.tstep = int(np.asarray(self.state.step))
-            except (ValueError, TypeError, KeyError):
-                # Inference-vars-only checkpoint (params + batch_stats —
-                # e.g. an unpacked release .npz, tools/ckpt_npz.py):
-                # graft the variables onto the fresh state and fine-tune
+            else:
+                # Graft the variables onto the fresh state and fine-tune
                 # from step 0 with a fresh optimizer.  Mirrors the
                 # reference's Saver variables-only restore semantics
                 # (reference main.py:428-432, step parsed from the

@@ -113,6 +113,43 @@ def test_load_variables_resolves_manager_root(tmp_path):
                                       np.full((2,), 3.0, np.float32))
 
 
+def test_checkpoint_keys_kind_detection(tmp_path):
+    """checkpoint_keys reads top-level pytree keys from on-disk metadata
+    without restoring payloads — the trainer branches full-state vs
+    inference-vars restore on this instead of chained exceptions."""
+    from nhans_tpu.train.checkpoint import checkpoint_keys, save_variables
+    full = {"params": {"a": np.ones((2,), np.float32)},
+            "batch_stats": {"m": np.zeros((2,), np.float32)},
+            "opt_state": {"mu": np.zeros((2,), np.float32)},
+            "step": np.int32(7)}
+    save_variables(str(tmp_path / "full"), full)
+    save_variables(str(tmp_path / "vars"),
+                   {k: full[k] for k in ("params", "batch_stats")})
+    assert {"opt_state", "step"} <= checkpoint_keys(str(tmp_path / "full"))
+    assert checkpoint_keys(str(tmp_path / "vars")) == \
+        frozenset({"params", "batch_stats"})
+
+
+def test_load_variables_rejects_mismatched_shapes(tmp_path):
+    """The raw-restore fallback (subset template of a full train-state
+    checkpoint) must reject wrong-shaped leaves with a clear error, not
+    graft them to fail later as an opaque XLA shape error."""
+    import pytest
+    from nhans_tpu.train.checkpoint import load_variables, save_variables
+    full = {"params": {"a": np.ones((4, 4), np.float32)},
+            "batch_stats": {"m": np.zeros((4,), np.float32)},
+            "opt_state": {"mu": np.zeros((4, 4), np.float32)}}
+    save_variables(str(tmp_path / "full"), full)
+    good = {"params": {"a": np.zeros((4, 4), np.float32)},
+            "batch_stats": {"m": np.zeros((4,), np.float32)}}
+    out = load_variables(str(tmp_path / "full"), good)
+    np.testing.assert_array_equal(out["params"]["a"], full["params"]["a"])
+    bad = {"params": {"a": np.zeros((8, 8), np.float32)},
+           "batch_stats": {"m": np.zeros((4,), np.float32)}}
+    with pytest.raises(ValueError, match="mismatched leaves"):
+        load_variables(str(tmp_path / "full"), bad)
+
+
 def test_train_loader_length_bucketing(tmp_path):
     """Batches of short utterances ride a small length bucket, with
     whole-file peaks carried alongside for exact normalization."""
