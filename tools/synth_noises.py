@@ -154,6 +154,21 @@ def main():
     print(f"wrote {args.count} synthetic noises ({args.seconds:.0f}s each) "
           f"to {args.out}")
 
+    # Refresh the split manifest if the target is a manifest-managed
+    # corpus dir (<root>/<split>/ with <root>/<split>.json beside it):
+    # loaders read the manifest, not the directory, so without this the
+    # new files would be silently ignored.
+    root, split = os.path.split(os.path.normpath(args.out))
+    manifest = os.path.join(root, f"{split}.json")
+    if os.path.exists(manifest):
+        import json
+        paths = sorted(
+            os.path.join(r, f) for r, _d, fs in os.walk(args.out)
+            for f in fs if f.endswith(".wav"))
+        with open(manifest, "w") as f:
+            json.dump(paths, f, indent=0)
+        print(f"refreshed manifest {manifest}: {len(paths)} wavs")
+
 
 if __name__ == "__main__":
     main()
