@@ -44,6 +44,16 @@ def speaker_of(path: str) -> str:
     return m.group(1) if m else os.path.splitext(base)[0]
 
 
+def real_speaker_of(path: str) -> str:
+    """Speaker id with any pseudo-speaker perturbation tag stripped:
+    ``spk<ID>p<tag>_...`` (make_demo_corpus --pseudo_speakers) maps back
+    to ``<ID>``.  Pseudo variants of one voice count as distinct
+    identities for conditioning diversity, but the separator must never
+    PAIR a voice with a resampled copy of itself as target/interferer —
+    near-identical voices make the supervision ill-posed."""
+    return re.sub(r"p[0-9]+$", "", speaker_of(path))
+
+
 def corpus_bytes(paths: List[str]) -> int:
     """Approximate decoded int16 bytes (wav payload ~= file size)."""
     return sum(os.path.getsize(p) for p in paths)
@@ -166,13 +176,16 @@ class BankIndexLoader:
         self.n_noise = len(banks.noise_paths)
         self._seed = cfg.data.seed if seed is None else seed
         self._step = start_step
-        # speaker-disjoint interference sampling table (separator)
+        # speaker-disjoint interference sampling table (separator) —
+        # disjoint on the REAL voice (pseudo-speaker perturbation tags
+        # stripped), so a voice is never paired with a resampled copy
+        # of itself (see real_speaker_of)
         self._other: Optional[List[np.ndarray]] = None
         if not self.two_noise:
-            spk = np.asarray(banks.speakers)
-            if len(set(banks.speakers)) >= 2:
-                self._other = [np.flatnonzero(spk != s)
-                               for s in banks.speakers]
+            real = [real_speaker_of(p) for p in banks.speech_paths]
+            spk = np.asarray(real)
+            if len(set(real)) >= 2:
+                self._other = [np.flatnonzero(spk != s) for s in real]
 
     def __iter__(self):
         return self

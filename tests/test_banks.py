@@ -71,6 +71,42 @@ def test_index_loader_speaker_disjoint(tmp_path):
             assert banks.speakers[c] != banks.speakers[a]
 
 
+def test_index_loader_pseudo_speaker_disjoint(tmp_path):
+    """Pairing is disjoint on the REAL voice: a pseudo-speaker variant
+    (spk<ID>p<tag>_, make_demo_corpus --pseudo_speakers) must never be
+    paired with another variant of the same voice as interferer."""
+    from scipy.io import wavfile
+
+    from nhans_tpu.data.banks import (BankIndexLoader, DeviceBanks,
+                                      real_speaker_of)
+
+    assert real_speaker_of("spk121p09_0.wav") == "121"
+    assert real_speaker_of("spkaexip095_0_sp095_0.wav") == "aexi"
+    assert real_speaker_of("spk121_0.wav") == "121"
+
+    speech = os.path.join(str(tmp_path), "speech")
+    os.makedirs(os.path.join(speech, "train"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    for spk in ("a", "b"):
+        for tag in ("", "p09", "p11"):
+            x = (rng.standard_normal(16000) * 3000).astype(np.int16)
+            wavfile.write(os.path.join(speech, "train",
+                                       f"spk{spk}{tag}_0.wav"), 16000, x)
+    from nhans_tpu.data.manifest import create_seeds
+    create_seeds(speech)
+    cfg = Config.separator().replace(data=dataclasses.replace(
+        Config().data, speech_wav_dir=speech, max_samples=16000,
+        device_corpus="on"))
+    banks = DeviceBanks(cfg)
+    real = [real_speaker_of(p) for p in banks.speech_paths]
+    loader = BankIndexLoader(banks, batch_utts=8)
+    it = iter(loader)
+    for _ in range(20):
+        idx = next(it)
+        for c, a in zip(idx["clean_idx"], idx["a_idx"]):
+            assert real[c] != real[a]
+
+
 def test_banks_enabled_modes(tmp_path):
     from nhans_tpu.data.banks import banks_enabled
 
