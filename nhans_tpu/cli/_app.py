@@ -29,7 +29,7 @@ def _sidecar(path: str, tag: str) -> str:
 
 
 def load_enhancer(cfg: Config, checkpoint: str, window_chunk: int = 2048,
-                  buckets_seconds=None):
+                  buckets_seconds=None, mesh: str = "off"):
     import jax
     from nhans_tpu.infer.enhance import DEFAULT_BUCKETS_SECONDS, Enhancer
     from nhans_tpu.models import init_variables
@@ -44,8 +44,16 @@ def load_enhancer(cfg: Config, checkpoint: str, window_chunk: int = 2048,
               "weights (identity enhancement). Train a model or import the "
               "published TF checkpoint with nhans_tpu.compat.",
               file=sys.stderr)
+    device_mesh = None
+    if mesh == "auto" and len(jax.devices()) > 1:
+        from nhans_tpu.parallel.mesh import make_mesh
+        n = len(jax.devices())
+        n = 1 << (n.bit_length() - 1)  # largest power of two
+        device_mesh = make_mesh(data=n)
+        print(f"serving sharded over {n} devices", file=sys.stderr)
     return Enhancer(cfg, variables, window_chunk=window_chunk,
-                    buckets_seconds=buckets_seconds or DEFAULT_BUCKETS_SECONDS)
+                    buckets_seconds=buckets_seconds or DEFAULT_BUCKETS_SECONDS,
+                    mesh=device_mesh)
 
 
 def _read(path: str, fs: int) -> np.ndarray:
@@ -98,7 +106,8 @@ def run(task: str) -> None:
     cfg = (Config.denoiser() if task == "denoiser" else Config.separator())
     fs = args.Fs
 
-    enhancer = load_enhancer(cfg, args.checkpoint)
+    enhancer = load_enhancer(cfg, args.checkpoint,
+                             mesh=getattr(args, "mesh", "off"))
 
     if os.path.isdir(args.input):
         inputs = wavio.list_wavs(args.input)

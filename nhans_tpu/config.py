@@ -282,6 +282,11 @@ def add_reference_flags(parser, *, inference: bool = False,
                                  "with --pos/--neg at 0 dB first, then "
                                  "enhance (reference apply_demo, "
                                  "apply.py:212-336)")
+        parser.add_argument("--mesh", default="off",
+                            choices=("off", "auto"),
+                            help="auto: shard serving over every visible "
+                                 "chip (shard_map over the batch axis; "
+                                 "single-chip results, exactly)")
     parser.add_argument("--Fs", type=int, default=16000)
     parser.add_argument("--context_frames", type=int, default=200)
     parser.add_argument("--window_frames", type=int, default=35)

@@ -87,13 +87,31 @@ class Enhancer:
 
     def __init__(self, cfg: Config, variables, window_chunk: int = 2048,
                  buckets_seconds=DEFAULT_BUCKETS_SECONDS,
-                 out_wire: str = "int16", pack_params: bool = True):
+                 out_wire: str = "int16", pack_params: bool = True,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        multi-chip serving.  Every program is wrapped in ``shard_map``
+        over the batch axis (utterances are independent, so the split is
+        exact: no collectives in the program at all); parameters are
+        replicated, each chip runs the full tower on its batch shard.
+        This is the SURVEY §2.2 long-utterance/batch scaling story:
+        ``enhance_long`` segments ride the same sharded programs, so one
+        long wav fans its segments out across the mesh."""
         self.cfg = cfg
         self.model = NHANSNet(cfg.model)
+        self.mesh = mesh
+        self._ndev = int(mesh.shape["data"]) if mesh is not None else 1
+        if mesh is not None and (self._ndev & (self._ndev - 1)):
+            raise ValueError("Enhancer mesh data axis must be a power of "
+                             "two (batch rides power-of-two buckets)")
         # pin parameters to the device ONCE: checkpoint loads hand back
         # host numpy, and passing that to jit re-transfers ~40 MB of
         # params on EVERY call (the dominant single-call latency cost on
         # remote-attached chips)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            variables = jax.device_put(
+                variables, NamedSharding(mesh, jax.sharding.PartitionSpec()))
         self.variables = jax.device_put(variables)
         self.window_chunk = int(window_chunk)
         self.buckets = [int(s * cfg.audio.sample_rate) for s in buckets_seconds]
@@ -118,18 +136,34 @@ class Enhancer:
     # program construction
     # ------------------------------------------------------------------ #
 
+    def _shard(self, program, n_batch_args: int):
+        """Wrap a (packed_params, *batch_arrays) program in shard_map over
+        the mesh's data axis: params replicated, every other arg (and all
+        outputs) split on the leading batch dim.  Utterances are
+        independent, so the partition is exact — no collectives."""
+        if self.mesh is None:
+            return program
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        return shard_map(
+            program, mesh=self.mesh,
+            in_specs=(P(),) + (P("data"),) * n_batch_args,
+            out_specs=(P("data"), P("data")))
+
     def _build_program(self, num_samples: int, batch: int):
         cfg = self.cfg
         a, m = cfg.audio, cfg.model
         fl, fs = a.frame_length, a.frame_step
         impl = sp.resolve_stft_impl(a.stft_impl)
         F = sp.num_frames(num_samples, fl, fs)
-        # clamp the chunk to the actual window count (rounded to a
-        # 128-window granule — conv batch dims only need 8-row sublane
-        # multiples, and a 256 granule padded the interactive regime's
-        # ~320-window programs by 58%) so small programs don't pad
-        # 2048-wide chunks
-        WC = min(self.window_chunk, max(128, -(-(batch * F) // 128) * 128))
+        # clamp the chunk to the actual PER-DEVICE window count (rounded
+        # to a 128-window granule — conv batch dims only need 8-row
+        # sublane multiples, and a 256 granule padded the interactive
+        # regime's ~320-window programs by 58%) so small programs don't
+        # pad 2048-wide chunks
+        local_batch = batch // self._ndev
+        WC = min(self.window_chunk,
+                 max(128, -(-(local_batch * F) // 128) * 128))
         W = m.window_frames
         ctx_n = context_samples(cfg)
         Fc = sp.num_frames(ctx_n, fl, fs)  # == context_frames
@@ -242,7 +276,7 @@ class Enhancer:
                               n_out.astype(jnp.float32)], axis=1)
             return wavs, meta
 
-        return jax.jit(program)
+        return jax.jit(self._shard(program, n_batch_args=5))
 
     def _program_for(self, num_samples: int, batch: int):
         bucket = next((b for b in self.buckets if b >= num_samples),
@@ -286,7 +320,7 @@ class Enhancer:
             ctx_b = jnp.take_along_axis(neg_lm, idx_n[:, :, None], axis=1)
             return self.model.apply(variables, None, ctx_a, ctx_b, False)
 
-        return jax.jit(ctx_program)
+        return jax.jit(self._shard(ctx_program, n_batch_args=3))
 
     def _encode_contexts(self, ctx: np.ndarray, ints: np.ndarray,
                          peaks: np.ndarray):
@@ -331,6 +365,7 @@ class Enhancer:
         ctx_n = context_samples(self.cfg)
         nreal = len(mixed_list)
         B = 1 << max(0, (nreal - 1).bit_length())  # next power of two
+        B = max(B, self._ndev)  # mesh: at least one row per device
         pad_b = B - nreal
         mixed_list = list(mixed_list) + [mixed_list[-1]] * pad_b
         pos_list = list(pos_list) + [pos_list[-1]] * pad_b
@@ -412,6 +447,8 @@ class Enhancer:
         fl, fs = a.frame_length, a.frame_step
         H = ((self.cfg.model.window_frames + 1) // 2) - 1  # 17
         ctx_n = context_samples(self.cfg)
+        # mesh: segment rows are sharded over devices like any batch
+        segment_batch = -(-segment_batch // self._ndev) * self._ndev
 
         wav, n, peak = self.prepare_wave(mixed)
         F_total = sp.num_frames(n, fl, fs)

@@ -140,3 +140,37 @@ def test_ctx_cache_memoizes(rng):
     assert enh._ctx_cache[k1][0] is e1[0]   # embeddings reused, not rebuilt
     enh.enhance(mixed1, pos, neg2)          # different -context
     assert len(enh._ctx_cache) == 2
+
+
+@pytest.mark.slow
+def test_enhancer_mesh_matches_single_device(rng):
+    """Multi-chip serving: an Enhancer sharded over an 8-device data mesh
+    (shard_map over the batch axis — utterances are independent, no
+    collectives) must produce the single-device results exactly, for
+    both batched and segmented-long paths, including batches smaller
+    than the mesh (padded rows)."""
+    from nhans_tpu.parallel.mesh import make_mesh
+
+    cfg = Config.denoiser()
+    _, variables = init_variables(cfg, jax.random.PRNGKey(5), train=False)
+    enh1 = Enhancer(cfg, variables, window_chunk=32, buckets_seconds=(1,))
+    enh8 = Enhancer(cfg, variables, window_chunk=32, buckets_seconds=(1,),
+                    mesh=make_mesh(data=8))
+
+    pos = np.zeros(4000)
+    mixed = [rng.standard_normal(8000) * (400 + 100 * i) for i in range(3)]
+    negs = [rng.standard_normal(5000) * 300 for _ in range(3)]
+    a = enh1.enhance_batch(mixed, [pos] * 3, negs)
+    b = enh8.enhance_batch(mixed, [pos] * 3, negs)
+    for i in range(3):
+        np.testing.assert_allclose(a["denoised"][i], b["denoised"][i],
+                                   atol=2e-4)
+    np.testing.assert_allclose(a["snr_est"], b["snr_est"], rtol=1e-3)
+
+    long = rng.standard_normal(40000) * 800
+    neg = negs[0]
+    la = enh1.enhance_long(long, pos, neg, segment_seconds=1.0,
+                           segment_batch=4)
+    lb = enh8.enhance_long(long, pos, neg, segment_seconds=1.0,
+                           segment_batch=4)
+    np.testing.assert_allclose(la["denoised"], lb["denoised"], atol=2e-4)
