@@ -29,6 +29,17 @@ class AudioConfig:
     # STFT implementation: "auto" = fused Pallas kernel on TPU, XLA
     # matmul-DFT elsewhere; "pallas" / "xla" force one.
     stft_impl: str = "auto"
+    # RECONSTRUCTION-only cap on the predicted per-bin log-mag residual,
+    # in nats (<= 0 disables).  The model may amplify a bin at most
+    # e^cap x the mixture's magnitude; suppression stays unbounded.
+    # Documented divergence from the reference (whose exp() is unbounded,
+    # reference apply.py:199): off-manifold conditioning (unseen voices
+    # on small corpora) can blow the bottom bins up by e^12+, burying an
+    # otherwise-good separation under low-frequency rumble
+    # (docs/QUALITY.md).  Legitimate amplification (phase-cancellation
+    # recovery) measures well under 2 nats (~17 dB), so the cap is inert
+    # on healthy outputs; the training loss NEVER sees it.
+    recon_residual_cap: float = 2.0
 
     @property
     def frame_length(self) -> int:
@@ -94,6 +105,15 @@ class ModelConfig:
     # Rematerialize main-tower blocks on the backward pass (trade FLOPs
     # for activation memory at large batches; jax.checkpoint).
     remat: bool = False
+    # TRAIN-time context-embedding jitter: add Gaussian noise of this
+    # relative magnitude (x the embedding's RMS) to both 512-d context
+    # embeddings before injection.  0 = off (reference parity).  A
+    # conditioning-robustness regularizer for small corpora: the
+    # separator otherwise memorizes the training voices' embedding
+    # locations and collapses (outputs silence) on unseen voices whose
+    # embeddings land off-manifold (docs/QUALITY.md).  Inference and
+    # eval are unaffected (train=False).
+    ctx_embed_noise: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -348,6 +368,11 @@ def add_reference_flags(parser, *, inference: bool = False,
                                  "in the loss by 1+boost (0 disables; "
                                  "anti-over-suppression lever for small "
                                  "corpora)")
+        parser.add_argument("--ctx_embed_noise", type=float, default=0.0,
+                            help="train-time Gaussian jitter on the two "
+                                 "context embeddings, relative to their "
+                                 "RMS (0 disables; conditioning-"
+                                 "robustness lever for small corpora)")
         parser.add_argument("--mom", type=float, default=0.0)
         parser.add_argument("--w_std", type=float, default=0.01)
         parser.add_argument("--b_init", type=float, default=0.0)
@@ -368,6 +393,7 @@ def config_from_args(args, task: str = "denoiser") -> Config:
         w_std=getattr(args, "w_std", 0.01),
         b_init=getattr(args, "b_init", 0.0),
         bn_decay=getattr(args, "bn_decay", 0.95),
+        ctx_embed_noise=getattr(args, "ctx_embed_noise", 0.0),
     )
     data = DataConfig(
         speech_wav_dir=getattr(args, "speech_wav_dir", "./speech_wav_dir/"),

@@ -225,6 +225,11 @@ class Enhancer:
                                     jnp.arange(ncg, dtype=jnp.int32))
             residuals = residuals.reshape(ncg * WC, m.num_features)
             residuals = residuals[:nwin].reshape(B, F, m.num_features)
+            if a.recon_residual_cap > 0:
+                # amplification cap (AudioConfig.recon_residual_cap):
+                # inert on healthy outputs, bounds off-manifold low-bin
+                # blowups that would bury the result in rumble
+                residuals = jnp.minimum(residuals, a.recon_residual_cap)
 
             denoised_lm = logmag + residuals                      # central frame + res
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
@@ -211,6 +212,18 @@ class NHANSNet(nn.Module):
             emb_a = encoder(ctx_a, train)
         if emb_b is None:
             emb_b = encoder(ctx_b, train)
+        if (train and cfg.ctx_embed_noise > 0.0
+                and self.has_rng("embed_noise")):
+            # Conditioning-robustness jitter (ModelConfig.ctx_embed_noise):
+            # RMS-relative so the regularization strength tracks the
+            # embedding scale as it grows during training.
+            def _jitter(e, key):
+                rms = jnp.sqrt(jnp.mean(jnp.square(e), axis=-1,
+                                        keepdims=True) + 1e-8)
+                return e + (cfg.ctx_embed_noise * rms *
+                            jax.random.normal(key, e.shape, e.dtype))
+            emb_a = _jitter(emb_a, self.make_rng("embed_noise"))
+            emb_b = _jitter(emb_b, self.make_rng("embed_noise"))
         if mixed is None:
             return emb_a, emb_b
 

@@ -123,6 +123,12 @@ class Evaluator:
             res = res.reshape(nch * WC, m.num_features)[:nwin]
             res = res.reshape(B, nwin_per, m.num_features)
             denoised_lm = rest[:, :nwin_per] + res               # [B, nw, nf]
+            # reconstruction-only amplification cap
+            # (AudioConfig.recon_residual_cap); the eval LOSS above stays
+            # on the raw model output
+            cap = self.cfg.audio.recon_residual_cap
+            denoised_lm_rec = (rest[:, :nwin_per] + jnp.minimum(res, cap)
+                               if cap > 0 else denoised_lm)
 
             valid = (jnp.arange(nwin_per)[None, :]
                      < (nf - C)[:, None])                        # [B, nw]
@@ -142,7 +148,7 @@ class Evaluator:
 
             wavs = {
                 "mixed": recon(lm_mixed[:, C:], ph),
-                "denoised": recon(denoised_lm, ph),
+                "denoised": recon(denoised_lm_rec, ph),
                 "target": recon(lm_target[:, C:], ph_target[:, C:]),
             }
             if task.two_noise_mixing:

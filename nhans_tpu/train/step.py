@@ -97,11 +97,16 @@ def make_train_step(cfg: Config, model: NHANSNet, tx,
                               peaks=batch.get("peaks"),
                               stft_impl=stft_impl, mesh=stft_mesh)
 
+        # Context-embedding jitter stream (ModelConfig.ctx_embed_noise);
+        # keyed off the step key so kill/resume determinism holds.
+        rngs = ({"embed_noise": jax.random.fold_in(key, 0x0e77)}
+                if cfg.model.ctx_embed_noise > 0.0 else None)
+
         def loss_fn(params):
             res, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 ex["mixed"], ex["ctx_a"], ex["ctx_b"], True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], rngs=rngs)
             denoised = ex["mixed"][:, W // 2, :] + res
             loss, ex_loss = freq_weighted_mse(denoised, ex["target"])
             boost = cfg.train.clean_loss_boost

@@ -174,3 +174,52 @@ def test_enhancer_mesh_matches_single_device(rng):
     lb = enh8.enhance_long(long, pos, neg, segment_seconds=1.0,
                            segment_batch=4)
     np.testing.assert_allclose(la["denoised"], lb["denoised"], atol=2e-4)
+
+
+@pytest.mark.slow
+def test_recon_residual_cap_bounds_blowup(rng):
+    """AudioConfig.recon_residual_cap: rig the (normally zero-init) head
+    bias to predict a +12-nat residual on bin 0 — the off-manifold
+    low-bin blowup observed on unseen separator voices (docs/QUALITY.md).
+    With the default cap the output stays bounded near the mixture's
+    scale; with the cap disabled the same variables produce the e^12
+    rumble.  Healthy (zero-residual) outputs are untouched by the cap."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    cfg = Config.denoiser()
+    _, variables = init_variables(cfg, jax.random.PRNGKey(0), train=False)
+    rigged = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    b = np.array(rigged["params"]["last_dense"]["b"])
+    b[0] = 12.0
+    rigged = jax.tree_util.tree_map(lambda x: x, rigged)
+    rigged["params"] = dict(rigged["params"])
+    rigged["params"]["last_dense"] = {
+        "w": rigged["params"]["last_dense"]["w"], "b": jnp.asarray(b)}
+
+    mixed = rng.standard_normal(12000) * 1000
+    pos = np.zeros(4000)
+    neg = rng.standard_normal(9000) * 500
+
+    capped = Enhancer(cfg, rigged, window_chunk=32, buckets_seconds=(1,))
+    out_c = capped.enhance(mixed, pos, neg)
+    uncap_cfg = cfg.replace(audio=dataclasses.replace(
+        cfg.audio, recon_residual_cap=0.0))
+    uncapped = Enhancer(uncap_cfg, rigged, window_chunk=32,
+                        buckets_seconds=(1,))
+    out_u = uncapped.enhance(mixed, pos, neg)
+
+    rms_c = np.sqrt(np.mean(out_c["denoised"] ** 2))
+    rms_u = np.sqrt(np.mean(out_u["denoised"] ** 2))
+    rms_m = np.sqrt(np.mean(out_c["mixed_processed"] ** 2))
+    assert rms_u > 50 * rms_m        # the blowup is real without the cap
+    assert rms_c < 10 * rms_m        # and bounded with it
+
+    # inert on healthy outputs: zero-init head, cap on == cap off
+    healthy_c = Enhancer(cfg, variables, window_chunk=32,
+                         buckets_seconds=(1,))
+    healthy_u = Enhancer(uncap_cfg, variables, window_chunk=32,
+                         buckets_seconds=(1,))
+    a = healthy_c.enhance(mixed, pos, neg)["denoised"]
+    bb = healthy_u.enhance(mixed, pos, neg)["denoised"]
+    np.testing.assert_allclose(a, bb, atol=1e-6)

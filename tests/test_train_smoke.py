@@ -127,3 +127,55 @@ def test_clean_loss_boost_reweights_not_rescales():
     _, m_b2 = step_boost(state, same_batch, key)
     np.testing.assert_allclose(float(m_p2["loss"]), float(m_b2["loss"]),
                                rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_ctx_embed_noise_trains_and_leaves_inference_alone():
+    """--ctx_embed_noise: the jitter changes the training objective,
+    is deterministic in the step key (kill/resume holds), and never
+    touches the train=False path (ModelConfig.ctx_embed_noise)."""
+    base = Config.denoiser()
+    base = base.replace(
+        data=dataclasses.replace(base.data, max_samples=16000,
+                                 slices_per_step=2),
+        train=dataclasses.replace(base.train, alg="adam", lr=1e-3))
+    noised = base.replace(
+        model=dataclasses.replace(base.model, ctx_embed_noise=0.5))
+
+    from nhans_tpu.models import build_model
+    model, state, tx = create_state(base, jax.random.PRNGKey(0))
+    nmodel = build_model(noised)   # same params, noise-enabled module
+    step_plain = make_train_step(base, model, tx, donate=False)
+    step_noise = make_train_step(noised, nmodel, tx, donate=False)
+
+    rng = np.random.default_rng(2)
+    B, L = 2, base.data.max_samples
+    batch = {
+        "clean": (rng.standard_normal((B, L)) * 3000).astype(np.float32),
+        "noise_a": (rng.standard_normal((B, L)) * 500).astype(np.float32),
+        "noise_b": (rng.standard_normal((B, L)) * 500).astype(np.float32),
+        "clean_len": np.full((B,), L, np.int32),
+        "len_a": np.full((B,), L, np.int32),
+        "len_b": np.full((B,), L, np.int32),
+    }
+    key = jax.random.PRNGKey(7)
+    _, m_plain = step_plain(state, batch, key)
+    _, m_n1 = step_noise(state, batch, key)
+    _, m_n2 = step_noise(state, batch, key)
+    lp, l1, l2 = (float(m_plain["loss"]), float(m_n1["loss"]),
+                  float(m_n2["loss"]))
+    assert np.isfinite(l1) and float(m_n1["grad_norm"]) > 0
+    assert l1 != lp            # jitter perturbed the objective
+    assert l1 == l2            # pure function of (state, batch, key)
+    _, m_n3 = step_noise(state, batch, jax.random.PRNGKey(8))
+    assert float(m_n3["loss"]) != l1   # different key, different draw
+
+    # train=False path never draws the rng: apply with NO rngs succeeds
+    # on an enabled config (the Evaluator/Enhancer contract)
+    mixed = jnp.zeros((1, base.model.window_frames,
+                       base.model.num_features), jnp.float32)
+    ctx = jnp.zeros((1, base.model.context_frames,
+                     base.model.num_features), jnp.float32)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    res = nmodel.apply(variables, mixed, ctx, ctx, False)
+    assert np.isfinite(np.asarray(res)).all()
