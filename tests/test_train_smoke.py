@@ -159,16 +159,34 @@ def test_ctx_embed_noise_trains_and_leaves_inference_alone():
         "len_b": np.full((B,), L, np.int32),
     }
     key = jax.random.PRNGKey(7)
-    _, m_plain = step_plain(state, batch, key)
-    _, m_n1 = step_noise(state, batch, key)
-    _, m_n2 = step_noise(state, batch, key)
-    lp, l1, l2 = (float(m_plain["loss"]), float(m_n1["loss"]),
-                  float(m_n2["loss"]))
-    assert np.isfinite(l1) and float(m_n1["grad_norm"]) > 0
-    assert l1 != lp            # jitter perturbed the objective
-    assert l1 == l2            # pure function of (state, batch, key)
-    _, m_n3 = step_noise(state, batch, jax.random.PRNGKey(8))
-    assert float(m_n3["loss"]) != l1   # different key, different draw
+    # Zero-init gates (reference parity: Inject projections AND the
+    # last_dense head start at zero) mean NO gradient reaches the
+    # injections at init — the jitter shows up in the GRADIENTS only
+    # after one update (head nonzero) and in the LOSS after two
+    # (projections nonzero).  Walk exactly that ladder.
+    s1, m1 = step_noise(state, batch, key)
+    assert np.isfinite(float(m1["loss"]))
+
+    key2 = jax.random.PRNGKey(9)
+    s2p, m2_plain = step_plain(s1, batch, key2)
+    s2n, m2_noise = step_noise(s1, batch, key2)
+    _, m2_again = step_noise(s1, batch, key2)
+    # same state+key: jitter moves the gradients (loss not yet: the
+    # projections are still zero at s1)
+    assert (float(m2_noise["grad_norm"])
+            != float(m2_plain["grad_norm"]))
+    assert float(m2_noise["loss"]) == float(m2_plain["loss"])
+    # pure function of (state, batch, key) — kill/resume determinism
+    assert float(m2_again["grad_norm"]) == float(m2_noise["grad_norm"])
+    _, m2_k = step_noise(s1, batch, jax.random.PRNGKey(11))
+    assert (float(m2_k["grad_norm"])
+            != float(m2_noise["grad_norm"]))  # new key, new draw
+
+    key3 = jax.random.PRNGKey(10)
+    _, m3_plain = step_plain(s2n, batch, key3)
+    _, m3_noise = step_noise(s2n, batch, key3)
+    # projections nonzero now: the jitter moves the loss itself
+    assert float(m3_noise["loss"]) != float(m3_plain["loss"])
 
     # train=False path never draws the rng: apply with NO rngs succeeds
     # on an enabled config (the Evaluator/Enhancer contract)
