@@ -50,8 +50,24 @@ def real_speaker_of(path: str) -> str:
     to ``<ID>``.  Pseudo variants of one voice count as distinct
     identities for conditioning diversity, but the separator must never
     PAIR a voice with a resampled copy of itself as target/interferer —
-    near-identical voices make the supervision ill-posed."""
-    return re.sub(r"p[0-9]+$", "", speaker_of(path))
+    near-identical voices make the supervision ill-posed.
+
+    The tag is stripped only when a non-empty id remains: a legitimate
+    speaker id that is ENTIRELY ``p<digits>`` (e.g. VCTK-style
+    ``spkp225_*.wav``) must stay distinct, otherwise every such voice
+    collapses to "" and the disjoint table silently turns off.
+
+    Tags strip to a FIXPOINT: derived voices carry stacked tags
+    (``spks3tp0`` = example 3's residual-extracted interferer, whose
+    speed-perturbed pseudo variants become ``spks3tp0p09``) and every
+    layer must collapse to the base voice ``s3t`` so a voice is never
+    paired against any derivative of itself."""
+    sid = speaker_of(path)
+    while True:
+        stripped = re.sub(r"(?<=.)p[0-9]+$", "", sid)
+        if stripped == sid:
+            return sid
+        sid = stripped
 
 
 def corpus_bytes(paths: List[str]) -> int:
@@ -186,6 +202,16 @@ class BankIndexLoader:
             spk = np.asarray(real)
             if len(set(real)) >= 2:
                 self._other = [np.flatnonzero(spk != s) for s in real]
+            else:
+                # loud, not silent: unconstrained pairing reintroduces the
+                # same-voice ill-posed supervision this table exists to
+                # prevent (reference double-dequeue, Source_Separation/
+                # reader.py:248-249, is safe only on ~100k-speaker corpora)
+                print("WARNING: separator speaker-disjoint sampling "
+                      f"DISABLED — corpus has {len(set(real))} distinct "
+                      "real voice(s); target/interferer pairs are "
+                      "unconstrained (same-voice mixtures possible)",
+                      flush=True)
 
     def __iter__(self):
         return self

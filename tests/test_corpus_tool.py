@@ -123,3 +123,117 @@ def test_eval_splits_match_demo_sources(corpus):
     ns = os.path.join(corpus, "noise")
     assert len(os.listdir(os.path.join(ns, "valid"))) == 5
     assert len(os.listdir(os.path.join(ns, "test"))) == 7
+
+
+# ---------------------------------------------------------------------
+# Round-4 split design: --sns_valid (leak-free selective report set),
+# --residual_voices, --synth_count (docs/QUALITY.md round 4).
+
+
+@pytest.fixture(scope="module")
+def corpus4(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus4"))
+    subprocess.run(
+        [sys.executable, TOOL, "--out", out, "--speed_perturb",
+         "--speech_perturb_factors", "0.9,1.1", "--pseudo_speakers",
+         "--sns_train", "--sns_valid", "--residual_voices",
+         "--synth_count", "4", "--separator_holdout", "3"],
+        check=True, capture_output=True, text=True)
+    return out
+
+
+def test_sns_valid_selection_disjoint_from_reports(corpus4):
+    """The selection split must share no speaker and no noise id with
+    EITHER report set (7 denoising + 5 selective examples)."""
+    report_spk = (_librispeech_speakers(os.path.join(
+        DEMO, "selective_noise_suppression"))
+        | _librispeech_speakers(os.path.join(DEMO, "denoising")))
+    report_nid = (_noise_ids(os.path.join(
+        DEMO, "selective_noise_suppression"))
+        | _noise_ids(os.path.join(DEMO, "denoising")))
+    sns = os.path.join(DEMO, "Selective_Noise_Suppression_samples")
+    pat = re.compile(
+        r"snsExample(\d+)_(\d+)-\d+-\d+_(.{11})_[\d.]+_(.{11})_[\d.]+")
+    by_ex = {}
+    for f in sorted(os.listdir(sns)):
+        m = pat.match(f)
+        if m:
+            by_ex[int(m.group(1))] = m.groups()[1:]
+    valid = sorted(os.listdir(os.path.join(corpus4, "speech", "valid")))
+    assert valid, "sns_valid produced no selection split"
+    for f in valid:
+        exn = int(re.search(r"_ex(\d+)\.wav$", f).group(1))
+        spk, pos_id, neg_id = by_ex[exn]
+        assert spk not in report_spk, (f, spk)
+        assert pos_id not in report_nid and neg_id not in report_nid, f
+    # noise/valid pairing order: [pos, neg] per example, 2 per utterance
+    nvalid = sorted(os.listdir(os.path.join(corpus4, "noise", "valid")))
+    assert len(nvalid) == 2 * len(valid)
+    for k, f in enumerate(valid):
+        exn = re.search(r"_ex(\d+)\.wav$", f).group(1)
+        assert nvalid[2 * k] == f"sv{2 * k:03d}_ex{exn}pos.wav"
+        assert nvalid[2 * k + 1] == f"sv{2 * k + 1:03d}_ex{exn}neg.wav"
+
+
+def test_selective_material_absent_from_train_and_valid(corpus4):
+    """Leak-free selective report: the 5 selective examples' speakers
+    and noise ids appear in NO training or selection split."""
+    sel_spk = _librispeech_speakers(
+        os.path.join(DEMO, "selective_noise_suppression"))
+    train = os.listdir(os.path.join(corpus4, "speech", "train"))
+    lib = {re.match(r"spklib(\d+)", f).group(1)
+           for f in train if f.startswith("spklib")}
+    assert not (lib & sel_spk)
+    # selective posNoise recordings must NOT be train noise: the base
+    # real noise count drops to 4 audio_examples + sns additions + synth
+    train_ns = {f.split("_")[0].split(".")[0]
+                for f in os.listdir(os.path.join(corpus4, "noise", "train"))
+                if f.startswith("ns") and "_sp" not in f
+                and not f.startswith(("nsilent", "nsyn"))}
+    # 4 audio_examples + sns ids not in (report ∪ selection): with the
+    # 5 selective posNoise gone the count must be strictly below the
+    # non-sns_valid baseline of 9 (renamed files make ids opaque, so
+    # this is a count check; the id-level logic is exercised by
+    # test_sns_train_noise_ids_disjoint_from_eval on the v3 fixture)
+    assert len(train_ns) < 9, train_ns
+
+
+def test_residual_voices_present_and_grouped(corpus4):
+    """Residual interferer voices land in train as spk<i>tp0_* — the
+    pairing group of their own example's target voice (leak guard)."""
+    sys.path.insert(0, REPO)
+    from nhans_tpu.data.banks import real_speaker_of
+    train = os.listdir(os.path.join(corpus4, "speech", "train"))
+    res = [f for f in train if re.match(r"spks\d+tp0[_p]", f)]
+    assert res, "no residual voices in train"
+    for f in res[:8]:
+        rid = real_speaker_of(f)
+        assert re.fullmatch(r"s\d+t", rid), (f, rid)
+    # and a perturbed pseudo of a residual still collapses to the base
+    assert real_speaker_of("spks3tp0p09_r_0_sp09_0.wav") == "s3t"
+
+
+def test_residuals_of_held_examples_not_in_train(corpus4):
+    with open(os.path.join(corpus4, "speech", "valid_sep.json")) as f:
+        vs = json.load(f)
+    # residual voices double valid_sep: one t + one i voice per example
+    assert len(vs) == 6
+    kinds = [re.search(r"_(spks\d+[ti])\.wav$", p).group(1)[-1]
+             for p in vs]
+    assert kinds == ["t", "i", "t", "i", "t", "i"]
+    held_bases = {re.search(r"_(spks\d+)[ti]\.wav$", p).group(1)
+                  for p in vs}
+    train = os.listdir(os.path.join(corpus4, "speech", "train"))
+    leaked = [f for f in train
+              if re.match(r"(spks\d+)[tip]", f)
+              and re.match(r"(spks\d+)[tip]", f).group(1) in held_bases]
+    assert not leaked, leaked
+
+
+def test_synth_noises_pooled(corpus4):
+    train_ns = os.listdir(os.path.join(corpus4, "noise", "train"))
+    syn = [f for f in train_ns if f.startswith("nsyn")]
+    assert len(syn) == 4
+    with open(os.path.join(corpus4, "noise", "train.json")) as f:
+        manifest = json.load(f)
+    assert sum("nsyn" in p for p in manifest) == 4

@@ -25,7 +25,17 @@ Split design (round 2: leak-free three-way split + speaker tags):
 All demo wavs are float32 normalized; they are rescaled to int16 PCM (the
 framework's strict audio contract, reference reader.py:118-125).
 
-Usage: python tools/make_demo_corpus.py --out /tmp/nhans_corpus
+Round-4 additions (see the flag help): ``--sns_valid`` moves SELECTION to
+the unused snsExample sets so the 5 selective examples become a second
+LEAK-FREE report set; ``--residual_voices`` recovers the 15 separation
+examples' interference voices as mixed-denoised residuals (doubling the
+train voice count); ``--synth_count`` pools procedural noise families.
+
+Usage (round-4 recipe):
+  python tools/make_demo_corpus.py --out /tmp/nhans_corpus4 \
+      --speed_perturb --speech_perturb_factors 0.9,0.95,1.05,1.1 \
+      --pseudo_speakers --sns_train --sns_valid --residual_voices \
+      --synth_count 12 --silent_noises 6 --separator_holdout 3
 """
 
 import argparse
@@ -48,6 +58,87 @@ AEX = os.path.join(REF, "N_HANS___Selective_Noise", "audio_examples")
 SEG = 63920
 EVAL_LEN = 160000  # eval utterances looped to 10 s: the eval protocol
 # reserves the first 2 s as context (reference reader.py:398-420)
+
+
+SNS_PAT = None  # compiled lazily (module import keeps re usage local)
+
+
+def _sns_examples():
+    """Parse ``Selective_Noise_Suppression_samples``: {exn: info} with
+    speaker id, the two AudioSet noise ids, and per-kind paths.  The SPL
+    dir ships a byte-identical copy of this set (md5-verified), so only
+    this one is read."""
+    import re
+    global SNS_PAT
+    if SNS_PAT is None:
+        SNS_PAT = re.compile(
+            r"snsExample(\d+)_(\d+)-\d+-\d+_(.{11})_[\d.]+_(.{11})_[\d.]+"
+            r"_-?\d+_-?\d+_(target|denoised|posNoise|negNoise|mixed)\.wav$")
+    sns = os.path.join(DEMO, "Selective_Noise_Suppression_samples")
+    out = {}
+    for f in sorted(os.listdir(sns)):
+        m = SNS_PAT.match(f)
+        if not m:
+            continue
+        exn, spk, pos_id, neg_id, kind = m.groups()
+        info = out.setdefault(int(exn), {"spk": spk, "pos_id": pos_id,
+                                         "neg_id": neg_id})
+        info[kind] = os.path.join(sns, f)
+    return out
+
+
+def _demo_speakers_and_noise_ids(*dirs):
+    """LibriSpeech speaker ids + 11-char AudioSet noise ids referenced by
+    filenames under the given demo dirs (the leak-check universe)."""
+    import re
+    spk, nid = set(), set()
+    for d in dirs:
+        for _dp, _dd, files in os.walk(d):
+            for f in files:
+                m = re.search(r"_(\d+)-\d+-\d+_", f)
+                if m:
+                    spk.add(m.group(1))
+                # AudioSet ids are fixed 11 chars and may contain "_";
+                # lookbehind so back-to-back "_id_off_id_off_" pairs both
+                # match (a consuming match would eat the shared "_")
+                for m in re.finditer(r"(?<=_)(.{11})_\d+\.\d{3}_", f):
+                    nid.add(m.group(1))
+    return spk, nid
+
+
+def _residual_int16(exdir):
+    """The interference speaker's audio, extracted as mixed − denoised —
+    the reference's own 'removed.wav' convention (apply.py:453-461).
+    The separation example dirs ship ONLY mixed+denoised, so this
+    residual is the only access to each example's second voice; measured
+    speech-band (<3% energy below 150 Hz) with |corr(res, denoised)| ≤
+    0.23 across examples.  Returns int16 (peak-normalized) or None."""
+    den = _collect(exdir, "denoised")
+    mix = _collect(exdir, "mixed")
+    if not den or not mix:
+        return None
+    r1, d = wavfile.read(den[0])
+    r2, m = wavfile.read(mix[0])
+    if r1 != 16000 or r2 != 16000:
+        return None
+    n = min(len(d), len(m))
+    res = np.asarray(m[:n], np.float64) - np.asarray(d[:n], np.float64)
+    peak = np.max(np.abs(res)) + 1e-9
+    return np.rint(res / peak * 32000.0).astype(np.int16)
+
+
+def _write_int16_array(x, dst_dir, name, segment=0):
+    os.makedirs(dst_dir, exist_ok=True)
+    if segment and len(x) > segment:
+        stem, ext = os.path.splitext(name)
+        for j, s0 in enumerate(range(0, len(x), segment)):
+            piece = x[s0:s0 + segment]
+            if len(piece) < 16000:
+                continue
+            wavfile.write(os.path.join(dst_dir, f"{stem}_{j}{ext}"),
+                          16000, piece)
+        return
+    wavfile.write(os.path.join(dst_dir, name), 16000, x)
 
 
 def _collect(base, kind_substr):
@@ -230,6 +321,34 @@ def main():
                         "them: a same-domain unseen-speaker separator "
                         "eval split (2N voices, alternating "
                         "target/interferer order)")
+    p.add_argument("--residual_voices", action="store_true", default=False,
+                   help="extract each separation example's INTERFERENCE "
+                        "voice as mixed-denoised (the reference's "
+                        "removed.wav convention) and pool it into train "
+                        "as spk<ID>tp0_* — a pseudo-variant of the "
+                        "example's target-voice group so the "
+                        "speaker-disjoint sampler never pairs a voice "
+                        "against its own example's residual (which "
+                        "carries target traces); doubles the train voice "
+                        "count 15->30.  Held-out examples' residuals go "
+                        "to valid_sep instead (genuine two-voice eval)")
+    p.add_argument("--sns_valid", action="store_true", default=False,
+                   help="build the SELECTION split from the snsExample* "
+                        "sets whose speaker AND both noise ids are "
+                        "absent from the selective+denoising report "
+                        "sets (speech/valid = their targets looped, "
+                        "noise/valid = [pos,neg] per example in "
+                        "EvalLoader pairing order).  Frees the 5 "
+                        "selective examples to be a LEAK-FREE report "
+                        "set: their speech and noises then appear in "
+                        "NO training or selection split")
+    p.add_argument("--synth_count", type=int, default=0,
+                   help="pool N procedurally synthesized noises "
+                        "(tools/synth_noises.py families) into "
+                        "noise/train — leak-free by construction; "
+                        "replaces the noise-diversity lost when "
+                        "--sns_valid removes the selective posNoise "
+                        "recordings from train")
     p.add_argument("--silent_noises", type=int, default=6,
                    help="number of all-zero wavs pooled into noise/train "
                         "(reference corpus convention: SilentN files; "
@@ -277,19 +396,32 @@ def main():
         tgt_side = (_collect(exdir, "target") + _collect(exdir, "denoised")
                     + _collect(exdir, "posNoise"))
         intf_side = _collect(exdir, "negNoise")
+        residual = _residual_int16(exdir) if args.residual_voices else None
         if ex in held:
             # the example dirs ship denoised + mixed only, so each
             # example contributes ONE clean voice (the extracted
-            # target); the interferer exists only inside `mixed`
+            # target); the interferer exists only inside `mixed` —
+            # --residual_voices recovers it as mixed-denoised, making
+            # the held-out eval a genuine two-voice problem
             for voice, side in ((f"spks{i}t", tgt_side),
                                 (f"spks{i}i", intf_side)):
                 if side:
                     valid_sep.append((voice, side))
+            if residual is not None:
+                valid_sep.append((f"spks{i}i", residual))
             continue
         for j, p_ in enumerate(tgt_side):
             _write_int16(p_, train_dir, f"spks{i}t_{j}.wav", segment=SEG)
         for j, p_ in enumerate(intf_side):
             _write_int16(p_, train_dir, f"spks{i}i_{j}.wav", segment=SEG)
+        if residual is not None:
+            # tp0 = pseudo-variant of THIS example's target-voice group:
+            # real_speaker_of collapses spks<i>tp0 (and its perturbed
+            # spks<i>tp0p<f> descendants) to spks<i>t, so the sampler
+            # never pairs the residual against the voice whose traces
+            # it carries; all cross-example pairs remain legal
+            _write_int16_array(residual, train_dir, f"spks{i}tp0_r.wav",
+                               segment=SEG)
     if valid_sep:
         import json as _json
         vs_dir = os.path.join(speech, "valid_sep")
@@ -299,7 +431,8 @@ def main():
         # (wraparound), so consecutive entries being different voices
         # makes every eval mixture a genuine two-speaker problem
         for n, (voice, paths) in enumerate(valid_sep):
-            x = np.concatenate([_to_int16(p_) for p_ in paths])
+            x = (paths if isinstance(paths, np.ndarray)
+                 else np.concatenate([_to_int16(p_) for p_ in paths]))
             if len(x) < EVAL_LEN:
                 x = np.tile(x, int(np.ceil(EVAL_LEN / len(x))))
             name = f"sep{n:02d}_{voice}.wav"
@@ -316,47 +449,51 @@ def main():
         p_ = os.path.join(ss_aex, f)
         if os.path.exists(p_):
             _write_int16(p_, train_dir, f"spk{tag}_0.wav", segment=SEG)
+    # --- optional: snsExample-based SELECTION split (--sns_valid):
+    # examples whose LibriSpeech speaker AND both AudioSet noise ids are
+    # absent from the selective+denoising report sets become speech/
+    # noise valid, which frees ALL 5 selective examples to be reported
+    # leak-free (their material then touches no train/selection split).
+    sns_valid_ex = []
+    if args.sns_valid:
+        report_spk, report_nid = _demo_speakers_and_noise_ids(
+            os.path.join(DEMO, "selective_noise_suppression"),
+            os.path.join(DEMO, "denoising"))
+        for exn, info in sorted(_sns_examples().items()):
+            if (info["spk"] in report_spk or info["pos_id"] in report_nid
+                    or info["neg_id"] in report_nid
+                    or not all(k in info for k in
+                               ("target", "posNoise", "negNoise"))):
+                continue
+            sns_valid_ex.append((exn, info))
+        assert sns_valid_ex, "no leak-free sns examples found"
+
     # --- optional: snsExample* material -> train (leak-checked).  The
-    # sns samples partially duplicate the selective (valid) examples, so
-    # both the LibriSpeech speaker id and the two AudioSet noise ids of
-    # every candidate are checked against BOTH eval splits before use.
+    # sns samples partially duplicate the selective examples, so both
+    # the LibriSpeech speaker id and the two AudioSet noise ids of every
+    # candidate are checked against the report sets AND (with
+    # --sns_valid) the selection split before use.
     sns_train_noise = []
     if args.sns_train:
-        import re as _re
-        sel_dir = os.path.join(DEMO, "selective_noise_suppression")
-        dn_dir = os.path.join(DEMO, "denoising")
-        eval_spk, eval_nid = set(), set()
-        for d in (sel_dir, dn_dir):
-            for _dp, _dd, files in os.walk(d):
-                for f in files:
-                    m = _re.search(r"_(\d+)-\d+-\d+_", f)
-                    if m:
-                        eval_spk.add(m.group(1))
-                    # AudioSet ids are fixed 11 chars and may contain
-                    # "_", so split-by-underscore cannot parse them.
-                    # Lookbehind anchor: back-to-back "_id_off_id_off_"
-                    # pairs share a "_" that a consuming match would eat
-                    for m in _re.finditer(r"(?<=_)(.{11})_\d+\.\d{3}_", f):
-                        eval_nid.add(m.group(1))
-        sns = os.path.join(DEMO, "Selective_Noise_Suppression_samples")
-        pat = _re.compile(
-            r"snsExample(\d+)_(\d+)-\d+-\d+_(.{11})_[\d.]+_(.{11})_[\d.]+"
-            r"_-?\d+_-?\d+_(target|denoised|posNoise|negNoise)\.wav$")
+        eval_spk, eval_nid = _demo_speakers_and_noise_ids(
+            os.path.join(DEMO, "selective_noise_suppression"),
+            os.path.join(DEMO, "denoising"))
+        for _exn, info in sns_valid_ex:  # selection material is eval too
+            eval_spk.add(info["spk"])
+            eval_nid.update((info["pos_id"], info["neg_id"]))
         n_sp, n_ns = 0, 0
-        for f in sorted(os.listdir(sns)):
-            m = pat.match(f)
-            if not m:
-                continue
-            exn, spk, pos_id, neg_id, kind = m.groups()
-            path = os.path.join(sns, f)
-            if kind in ("target", "denoised") and spk not in eval_spk:
-                _write_int16(path, train_dir,
-                             f"spklib{spk}_{exn}{kind[0]}.wav", segment=SEG)
-                n_sp += 1
-            nid = {"posNoise": pos_id, "negNoise": neg_id}.get(kind)
-            if nid and nid not in eval_nid:
-                sns_train_noise.append(path)
-                n_ns += 1
+        for exn, info in sorted(_sns_examples().items()):
+            for kind in ("target", "denoised"):
+                if kind in info and info["spk"] not in eval_spk:
+                    _write_int16(info[kind], train_dir,
+                                 f"spklib{info['spk']}_{exn}{kind[0]}.wav",
+                                 segment=SEG)
+                    n_sp += 1
+            for kind, idk in (("posNoise", "pos_id"),
+                              ("negNoise", "neg_id")):
+                if kind in info and info[idk] not in eval_nid:
+                    sns_train_noise.append(info[kind])
+                    n_ns += 1
         print(f"sns_train: +{n_sp} speech wavs (speakers not in "
               f"{sorted(eval_spk)}), +{n_ns} noise recordings")
 
@@ -366,18 +503,39 @@ def main():
                                      args.speech_perturb_factors.split(",")),
                        pseudo=args.pseudo_speakers)
 
-    # --- speech/valid: selection set = selective-suppression targets
     sel = os.path.join(DEMO, "selective_noise_suppression")
-    for i, p_ in enumerate(_collect(sel, "target")):
-        _write_looped(p_, os.path.join(speech, "valid"), f"sel{i:03d}.wav")
+    if args.sns_valid:
+        # --- speech+noise/valid: sns selection split.  Noise file order
+        # [pos,neg] per example matches EvalLoader's (2i, 2i+1) pairing,
+        # so eval utterance k is mixed with ITS example's true noises.
+        for k, (exn, info) in enumerate(sns_valid_ex):
+            _write_looped(info["target"], os.path.join(speech, "valid"),
+                          f"svalid{k:03d}_ex{exn}.wav")
+            _write_int16(info["posNoise"], os.path.join(noise, "valid"),
+                         f"sv{2 * k:03d}_ex{exn}pos.wav")
+            _write_int16(info["negNoise"], os.path.join(noise, "valid"),
+                         f"sv{2 * k + 1:03d}_ex{exn}neg.wav")
+        print(f"sns_valid: selection = snsExamples "
+              f"{[e for e, _ in sns_valid_ex]}; the 5 selective examples "
+              "are leak-free report material (in no train/selection "
+              "split)")
+    else:
+        # --- speech/valid: selection set = selective-suppression targets
+        for i, p_ in enumerate(_collect(sel, "target")):
+            _write_looped(p_, os.path.join(speech, "valid"),
+                          f"sel{i:03d}.wav")
 
     # --- speech/test: reporting set = denoising targets
     for i, p_ in enumerate(_collect(os.path.join(DEMO, "denoising"),
                                     "target")):
         _write_looped(p_, os.path.join(speech, "test"), f"dn{i:03d}.wav")
 
-    # --- noise/train: selective posNoise + audio_examples noises
-    train_noise = _collect(sel, "posNoise")
+    # --- noise/train: selective posNoise + audio_examples noises.
+    # Under --sns_valid the selective examples are report-only, so their
+    # posNoise recordings must NOT train (material leakage would inflate
+    # the model's ability to recognize/keep those exact noises);
+    # --synth_count replaces the lost diversity with procedural families.
+    train_noise = [] if args.sns_valid else _collect(sel, "posNoise")
     for f in ("exp1_noise.wav", "exp2_noise.wav", "exp1_+noise.wav",
               "exp1_-noise.wav"):
         p_ = os.path.join(AEX, f)
@@ -401,10 +559,25 @@ def main():
         wavfile.write(os.path.join(noise, "train", f"nsilent{i:02d}.wav"),
                       16000, np.zeros(SEG, np.int16))
 
-    # --- noise/valid: selective negNoise (held out of train)
-    for i, p_ in enumerate(_collect(sel, "negNoise")):
-        _write_int16(p_, os.path.join(noise, "valid"),
-                     f"sel_ns{i:03d}.wav")
+    if args.synth_count:
+        # procedural noise families (leak-free by construction); runs
+        # before create_seeds so the manifests include them
+        import subprocess
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "synth_noises.py"),
+             "--out", os.path.join(noise, "train"),
+             "--count", str(args.synth_count), "--seconds", "8",
+             "--seed", "0"],
+            check=True)
+
+    # --- noise/valid: selective negNoise (held out of train); under
+    # --sns_valid the valid noises were written above instead
+    if not args.sns_valid:
+        for i, p_ in enumerate(_collect(sel, "negNoise")):
+            _write_int16(p_, os.path.join(noise, "valid"),
+                         f"sel_ns{i:03d}.wav")
 
     # --- noise/test: denoising negNoise
     for i, p_ in enumerate(_collect(os.path.join(DEMO, "denoising"),
