@@ -23,6 +23,13 @@ def main() -> None:
                    default="denoiser")
     p.add_argument("--data_axis", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--model_axis", type=int, default=1,
+                   help="tensor-parallel mesh size: shards the wide conv/"
+                        "dense output channels over a 'model' axis "
+                        "(parallel/sharding_rules; numerically equal to "
+                        "data-parallel, tests/test_sharding.py).  Optional "
+                        "at this model scale — data_axis*model_axis must "
+                        "divide the device count")
     p.add_argument("--multihost", action="store_true", default=False,
                    help="join the jax.distributed cluster before backend "
                         "init (TPU pods auto-detect; see --coordinator)")
@@ -60,7 +67,7 @@ def main() -> None:
     cfg = config_from_args(args, task=args.task)
     import dataclasses
     cfg = cfg.replace(train=dataclasses.replace(
-        cfg.train, data_axis=args.data_axis,
+        cfg.train, data_axis=args.data_axis, model_axis=args.model_axis,
         profile_dir=args.profile_dir, async_eval=args.async_eval))
     if args.dtype != "float32" or args.remat:
         cfg = cfg.replace(model=dataclasses.replace(

@@ -238,6 +238,9 @@ class TrainConfig:
     lr_min_frac: float = 0.1       # final lr as a fraction of --lr
     # TPU-specific
     data_axis: int = 0             # mesh data-parallel axis size; 0 = all devices
+    model_axis: int = 1            # tensor-parallel axis size (SURVEY §2.2:
+    # optional at this model scale; shards the wide conv output channels
+    # via parallel/sharding_rules when > 1)
     donate_state: bool = True
     profile_dir: str = ""          # capture a jax.profiler trace here
     async_eval: bool = False       # evaluate from ckpt snapshots on a thread
@@ -307,6 +310,15 @@ def add_reference_flags(parser, *, inference: bool = False,
                             help="auto: shard serving over every visible "
                                  "chip (shard_map over the batch axis; "
                                  "single-chip results, exactly)")
+    parser.add_argument("--recon_residual_cap", type=float, default=2.0,
+                        help="reconstruction-only cap (nats) on the "
+                             "predicted per-bin log-magnitude GAIN over "
+                             "the mixture; bounds off-manifold low-bin "
+                             "blowups (docs/QUALITY.md).  The reference "
+                             "exp() is unbounded — set 0 to disable for "
+                             "strict parity comparisons against "
+                             "published-model outputs; a NOTE is printed "
+                             "whenever the cap actually clips")
     parser.add_argument("--Fs", type=int, default=16000)
     parser.add_argument("--context_frames", type=int, default=200)
     parser.add_argument("--window_frames", type=int, default=35)
@@ -385,7 +397,9 @@ def add_reference_flags(parser, *, inference: bool = False,
 def config_from_args(args, task: str = "denoiser") -> Config:
     """Build a Config from parsed reference-style CLI args."""
     task_cfg = TaskConfig.denoiser() if task == "denoiser" else TaskConfig.separator()
-    audio = AudioConfig(sample_rate=getattr(args, "Fs", 16000))
+    audio = AudioConfig(
+        sample_rate=getattr(args, "Fs", 16000),
+        recon_residual_cap=getattr(args, "recon_residual_cap", 2.0))
     model = ModelConfig(
         window_frames=getattr(args, "window_frames", 35),
         context_frames=getattr(args, "context_frames", 200),

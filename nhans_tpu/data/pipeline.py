@@ -214,6 +214,16 @@ def make_train_batch(cfg: Config, key: jax.Array, clean: jnp.ndarray,
              (rest_max + 1).astype(jnp.float32)).astype(jnp.int32)
         idx = r[..., None] + jnp.arange(C)[None, None, :]      # [B,K,C]
         idx = idx + jnp.where(idx >= winstart[..., None], W, 0)
+        # utterances with fewer than C+1 valid frames have no C-frame
+        # rest to cut: tile the REAL frames cyclically instead, the
+        # same convention inference uses (infer/enhance.py context
+        # tiling).  The reference ERRORS on such inputs (reader.py:
+        # 481-487, uniform over an empty range), so matching inference
+        # keeps train/apply context statistics identical.
+        short = (nf_src[:, None, None] - 1) < C                # [B,1,1]
+        idx_short = pad_before + (jnp.arange(C)[None, None, :]
+                                  % jnp.maximum(nf_src, 1)[:, None, None])
+        idx = jnp.where(short, idx_short, idx)
         idx = jnp.minimum(idx, F + W - 2)                      # stay in buffer
         return jnp.take_along_axis(lm_p[:, None], idx[..., None], axis=2)
 

@@ -228,8 +228,19 @@ class Enhancer:
             if a.recon_residual_cap > 0:
                 # amplification cap (AudioConfig.recon_residual_cap):
                 # inert on healthy outputs, bounds off-manifold low-bin
-                # blowups that would bury the result in rumble
+                # blowups that would bury the result in rumble.  The
+                # clipped-bin fraction rides the meta row so the host
+                # can WARN when the cap actually bites (a silent
+                # divergence from the reference's unbounded exp() would
+                # otherwise skew parity comparisons).
+                vmask = fmask[..., None]                # valid frames
+                cap_frac = (jnp.sum((residuals > a.recon_residual_cap)
+                                    & vmask, axis=(1, 2)).astype(jnp.float32)
+                            / jnp.maximum(jnp.sum(vmask, axis=(1, 2))
+                                          * m.num_features, 1))
                 residuals = jnp.minimum(residuals, a.recon_residual_cap)
+            else:
+                cap_frac = jnp.zeros((B,), jnp.float32)
 
             denoised_lm = logmag + residuals                      # central frame + res
 
@@ -261,8 +272,8 @@ class Enhancer:
             # mixed_processed - denoised, saving a third of the
             # device->host transfer.
             # outputs are packed the same way: ONE waveform array
-            # [B, 2, L] + one [B, 3] meta row (scale, snr_est, n_out) —
-            # 2 D2H transfers instead of 5
+            # [B, 2, L] + one [B, 4] meta row (scale, snr_est, n_out,
+            # cap_clip_frac) — 2 D2H transfers instead of 5
             if self.out_wire == "int16":
                 # per-wav scale to int16 on device: the D2H wire is the
                 # bottleneck on remote-attached chips, and int16 is the
@@ -278,7 +289,8 @@ class Enhancer:
                 wavs = jnp.stack([den, mixo], axis=1)
             meta = jnp.stack([scale.astype(jnp.float32),
                               snr_est.astype(jnp.float32),
-                              n_out.astype(jnp.float32)], axis=1)
+                              n_out.astype(jnp.float32),
+                              cap_frac], axis=1)
             return wavs, meta
 
         return jax.jit(self._shard(program, n_batch_args=5))
@@ -414,6 +426,17 @@ class Enhancer:
         den, mix = wavs[:, 0], wavs[:, 1]
         scale, snr = meta[:, 0], meta[:, 1]
         n_out = meta[:, 2].astype(np.int64)
+        cap_frac = meta[:, 3]
+        if float(np.max(cap_frac[:nreal], initial=0.0)) > 1e-4:
+            # the amplification cap actually bit: announce it — output
+            # now diverges from the reference's unbounded exp()
+            # (apply.py:453-461); rerun with --recon_residual_cap 0
+            # for strict-parity comparisons
+            print("NOTE: recon_residual_cap clipped "
+                  f"{100 * float(np.max(cap_frac[:nreal])):.2f}% of "
+                  "spectrogram bins in at least one utterance "
+                  "(--recon_residual_cap 0 disables the cap)",
+                  flush=True)
         if den.dtype == np.int16:  # undo the wire quantization scale
             inv = (1.0 / scale).astype(np.float32)
             den = den.astype(np.float32) * inv[:, None]
@@ -424,6 +447,7 @@ class Enhancer:
             "removed": [mix[i, :n_out[i]] - den[i, :n_out[i]]
                         for i in range(nreal)],
             "snr_est": snr[:nreal],
+            "cap_clip_frac": cap_frac[:nreal],
         }
 
     def enhance_batch(self, mixed_list, pos_list, neg_list) -> Dict[str, list]:

@@ -109,7 +109,15 @@ def checkpoint_keys(path: str) -> frozenset:
         tree = ckptr.metadata(_resolve(path)).item_metadata.tree
     finally:
         ckptr.close()
-    return frozenset(tree) if isinstance(tree, dict) else frozenset()
+    if not isinstance(tree, dict):
+        # Returning frozenset() here would silently misroute a full
+        # train-state resume into the variables-graft branch (dropping
+        # the optimizer state and step counter) — fail loudly instead.
+        raise ValueError(
+            f"checkpoint metadata at {path} is not a dict-like pytree "
+            f"(got {type(tree).__name__}); cannot classify checkpoint "
+            "kind for --restore_path dispatch")
+    return frozenset(tree)
 
 
 def _validate_leaves(template: Any, restored: Any, path: str) -> None:

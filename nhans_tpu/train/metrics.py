@@ -17,18 +17,32 @@ from typing import Dict, Optional
 
 
 class MetricsWriter:
-    def __init__(self, summaries_dir: str, name: str):
+    """JSONL (source of truth) + TensorBoard event file, both under
+    ``--summaries_dir`` — the reference builds summary protos but never
+    writes them (main.py:586-589); here the flag means what it says and
+    ``tensorboard --logdir <summaries_dir>`` renders the curves."""
+
+    def __init__(self, summaries_dir: str, name: str,
+                 tensorboard: bool = True):
         os.makedirs(summaries_dir, exist_ok=True)
         self.path = os.path.join(summaries_dir, f"{name}.jsonl")
         self._f = open(self.path, "a", buffering=1)
+        self._tb = None
+        if tensorboard:
+            from nhans_tpu.utils.tb_events import EventFileWriter
+            self._tb = EventFileWriter(summaries_dir, name_suffix=name)
 
     def write(self, step: int, tag_values: Dict[str, float]) -> None:
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in tag_values.items()})
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalars(step, tag_values)
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Monitor:

@@ -40,7 +40,10 @@ def make_optimizer(alg: str, lr, mom: float = 0.0):
     if alg == "momentum":
         return optax.sgd(lr, momentum=mom)
     if alg == "rmsprop":
-        return optax.rmsprop(lr, decay=0.9, eps=1e-10,
+        # initial_scale=1.0: tf.train.RMSPropOptimizer initializes the
+        # mean-square accumulator to ONES (optax defaults to zeros,
+        # which makes the first steps ~1/|g| larger) — tests/test_optim.py
+        return optax.rmsprop(lr, decay=0.9, eps=1e-10, initial_scale=1.0,
                              momentum=mom if mom else None)
     if alg == "adadelta":
         return optax.adadelta(lr, rho=0.95, eps=1e-8)

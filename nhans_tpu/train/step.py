@@ -176,26 +176,6 @@ def make_train_step(cfg: Config, model: NHANSNet, tx,
     )
 
 
-def make_eval_step(cfg: Config, model: NHANSNet, mesh=None):
-    """Jitted eval forward on prepared windows: returns denoised central
-    frames and per-window loss (reference model outputs, main.py:250-255)."""
-    W = cfg.model.window_frames
-
-    def eval_fn(params, batch_stats, mixed, ctx_a, ctx_b, target):
-        emb_a, emb_b = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            None, ctx_a, ctx_b, False)
-        res = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            mixed, None, None, False, emb_a=emb_a, emb_b=emb_b)
-        denoised = mixed[:, W // 2, :] + res
-        _, example_loss = freq_weighted_mse(denoised, target)
-        return denoised, example_loss
-
-    if mesh is None:
-        return jax.jit(eval_fn)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(eval_fn,
-                   in_shardings=(repl, repl, data, data, data, data),
-                   out_shardings=(data, data))
+# NOTE: eval programs are built by train/evaluate.Evaluator (utterance-
+# granular, cached per length bucket); a window-granular make_eval_step
+# previously exported here was used by nothing and was removed.

@@ -38,14 +38,19 @@ class Trainer:
         self.cfg = cfg
         t = cfg.train
         self.mesh = mesh if mesh is not None else make_mesh(
-            data=t.data_axis or None)
+            data=t.data_axis or None, model=t.model_axis)
         self.model, self.state, self.tx = create_state(
             cfg, jax.random.PRNGKey(cfg.data.seed))
         from nhans_tpu.data.banks import banks_enabled
         self.banked = banks_enabled(cfg)
+        use_model_axis = self.mesh.shape.get("model", 1) > 1
         self.step_fn = make_train_step(cfg, self.model, self.tx,
                                        mesh=self.mesh, donate=t.donate_state,
+                                       state=(self.state if use_model_axis
+                                              else None),
+                                       use_model_axis=use_model_axis,
                                        banked=self.banked)
+        self._use_model_axis = use_model_axis
         self.ckpt = Checkpointer(t.checkpoint_dir, t.checkpoints_to_keep,
                                  t.model_name)
         self.evaluator = Evaluator(cfg, self.model, **(eval_kwargs or {}))
@@ -171,7 +176,17 @@ class Trainer:
     def train(self) -> None:
         cfg, t = self.cfg, self.cfg.train
         state_sh = NamedSharding(self.mesh, P())
-        self.state = jax.device_put(self.state, state_sh)
+        if self._use_model_axis:
+            # tensor-parallel layout: wide conv/dense output channels
+            # over the 'model' axis (parallel/sharding_rules); the step
+            # is jitted with matching in/out shardings and donation, so
+            # the placement here is the one the hot loop keeps
+            from nhans_tpu.parallel.sharding_rules import state_sharding
+            place = state_sharding(self.mesh, self.state,
+                                   use_model_axis=True)
+        else:
+            place = state_sh
+        self.state = jax.device_put(self.state, place)
         banks = None
         if self.banked:
             # whole corpus -> HBM once; per-step transfer = index triples

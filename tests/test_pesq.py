@@ -81,3 +81,26 @@ def test_degradation_ordering():
     mild = np.convolve(x, np.ones(3) / 3.0, mode="same")
     harsh = np.convolve(x, np.ones(33) / 33.0, mode="same")
     assert pesq_np(16000, x, mild) > pesq_np(16000, x, harsh)
+
+
+def test_conformance_vs_reference_pesq_package():
+    """Conformance pin against the reference `pesq` package (ITU P.862
+    C sources) — skipped when the package is unavailable (it is not in
+    this image; zero egress), so the moment the environment ever gains
+    it this re-derivation is automatically validated.  Tolerance is a
+    band, not equality: utils/pesq_np.py documents global-only time
+    alignment and formula-derived Bark tables (ranking-faithful, not
+    conformance-certified)."""
+    ref_pesq = pytest.importorskip("pesq")
+
+    fs = 16000
+    ref = _speech_like(4 * fs)
+    rng = np.random.default_rng(7)
+    for snr_db, tol in ((30.0, 0.6), (10.0, 0.6), (0.0, 0.8)):
+        noise = rng.standard_normal(len(ref))
+        noise *= np.sqrt(np.mean(ref ** 2) / 10 ** (snr_db / 10)
+                         / np.mean(noise ** 2))
+        deg = ref + noise
+        want = ref_pesq.pesq(fs, ref / 32768.0, deg / 32768.0, "wb")
+        got = pesq_np(fs, ref, deg, mode="wb")
+        assert abs(got - want) <= tol, (snr_db, got, want)
