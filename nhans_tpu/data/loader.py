@@ -67,6 +67,23 @@ class TrainLoader:
             self.noise = self.speech
         if not self.speech or not self.noise:
             raise ValueError("empty manifest(s)")
+        # separator: speaker-disjoint target/interferer sampling on the
+        # REAL voice, mirroring the banked loader (data/banks.py).  The
+        # reference's double-dequeue never constrains this — safe on a
+        # ~100k-utterance corpus, ill-posed on a small one (PARITY.md)
+        self._other: Optional[List[np.ndarray]] = None
+        if not self.two_noise:
+            from nhans_tpu.data.banks import real_speaker_of
+            real = [real_speaker_of(p) for p in self.speech]
+            spk = np.asarray(real)
+            if len(set(real)) >= 2:
+                self._other = [np.flatnonzero(spk != s) for s in real]
+            else:
+                print("WARNING: separator speaker-disjoint sampling "
+                      f"DISABLED — corpus has {len(set(real))} distinct "
+                      "real voice(s); target/interferer pairs are "
+                      "unconstrained (same-voice mixtures possible)",
+                      flush=True)
         self._q: "queue.Queue" = queue.Queue(maxsize=cfg.data.prefetch * 2)
         self._err: List[BaseException] = []
         self._stop = threading.Event()
@@ -94,10 +111,16 @@ class TrainLoader:
         use_native = native.available()
         try:
             while not self._stop.is_set():
-                cpaths = [self.speech[rng.integers(len(self.speech))]
-                          for _ in range(B)]
-                apaths = [self.noise[rng.integers(len(self.noise))]
-                          for _ in range(B)]
+                cidx = [int(rng.integers(len(self.speech)))
+                        for _ in range(B)]
+                cpaths = [self.speech[i] for i in cidx]
+                if self._other is not None:
+                    # separator: interferer from a DIFFERENT real voice
+                    apaths = [self.noise[self._other[i][rng.integers(
+                        len(self._other[i]))]] for i in cidx]
+                else:
+                    apaths = [self.noise[rng.integers(len(self.noise))]
+                              for _ in range(B)]
                 bpaths = ([self.noise[rng.integers(len(self.noise))]
                            for _ in range(B)] if self.two_noise else [])
                 # Peaks [B, 3] are the WHOLE-file maxima (scanned past the

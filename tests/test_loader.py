@@ -166,3 +166,47 @@ def test_train_loader_length_bucketing(tmp_path):
         assert (b["len_a"] <= 64000).all()
     finally:
         loader.close()
+
+
+def test_train_loader_separator_speaker_disjoint(tmp_path):
+    """Streaming-loader parity with the banked loader: the separator's
+    interferer utterance comes from a DIFFERENT real voice than the
+    target (spk tags; pseudo-perturbation tags collapse first).  The
+    reference's unconstrained double-dequeue is safe only on huge
+    corpora (PARITY.md)."""
+    import dataclasses as dc
+
+    from scipy.io import wavfile
+
+    from nhans_tpu.data.loader import TrainLoader
+    from nhans_tpu.data.manifest import create_seeds
+
+    rng = np.random.default_rng(3)
+    speech = os.path.join(str(tmp_path), "speech")
+    d = os.path.join(speech, "train")
+    os.makedirs(d)
+    # 3 real voices, one with a pseudo-perturbed variant; lengths encode
+    # identity (1600*(v+1) samples) so batches reveal the source voice
+    names = ["spkA_0.wav", "spkAp09_0.wav", "spkB_0.wav", "spkC_0.wav"]
+    voice = {"spkA_0.wav": 0, "spkAp09_0.wav": 0, "spkB_0.wav": 1,
+             "spkC_0.wav": 2}
+    for n in names:
+        x = (rng.standard_normal(1600 * (voice[n] + 1)) * 3000)
+        wavfile.write(os.path.join(d, n), 16000, x.astype(np.int16))
+    create_seeds(speech)
+
+    cfg = Config.separator()
+    cfg = cfg.replace(data=dc.replace(
+        cfg.data, speech_wav_dir=speech, noise_wav_dir=speech,
+        max_samples=16000, num_workers=1))
+    loader = TrainLoader(cfg, batch_utts=8, num_workers=1)
+    try:
+        for _ in range(6):
+            b = next(iter(loader))
+            for cl, al in zip(np.asarray(b["clean_len"]),
+                              np.asarray(b["len_a"])):
+                cv = int(cl) // 1600 - 1
+                av = int(al) // 1600 - 1
+                assert cv != av, (cl, al)
+    finally:
+        loader.close()
