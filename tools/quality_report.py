@@ -50,6 +50,12 @@ def results_table(rows):
                 stoi_mixed=("%.3f" % r["stoi_mixed"])
                 if "stoi_mixed" in r else "—",
                 pesq=("%.2f" % r["pesq"]) if "pesq" in r else "—"))
+    lines.append("")
+    lines.append(
+        "*Eval clean↔noise pairing is `noise[(2i)%N]` in manifest order "
+        "(deterministic, but different from the reference's queue-order "
+        "pairing — see docs/PARITY.md), so absolute eval numbers are "
+        "internal-trend evidence, not reference-comparable.*")
     return "\n".join(lines)
 
 
