@@ -168,6 +168,9 @@ def main():
     p.add_argument("--jsonl", required=True)
     p.add_argument("--validate", default="",
                    help="JSON list written by tools/validate_demo.py --json")
+    p.add_argument("--selective", default="",
+                   help="validate_demo --task selective JSON for "
+                        "SELECTIVE_TABLE (same schema as --validate)")
     p.add_argument("--separator_jsonl", default="",
                    help="separator-run metrics JSONL for SEPARATOR_TABLE")
     p.add_argument("--separator_seen_jsonl", default="",
@@ -187,6 +190,9 @@ def main():
     if args.validate:
         with open(args.validate) as f:
             doc = splice(doc, "VALIDATE_TABLE", validate_table(json.load(f)))
+    if args.selective:
+        with open(args.selective) as f:
+            doc = splice(doc, "SELECTIVE_TABLE", validate_table(json.load(f)))
     if args.separator_jsonl:
         srows = load_eval_rows(args.separator_jsonl)
         if srows:
