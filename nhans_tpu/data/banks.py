@@ -70,6 +70,27 @@ def real_speaker_of(path: str) -> str:
         sid = stripped
 
 
+def build_disjoint_table(paths: List[str]) -> Optional[List[np.ndarray]]:
+    """Speaker-disjoint interference table for the separator: entry i is
+    the index array of utterances whose REAL voice (pseudo-speaker tags
+    stripped, :func:`real_speaker_of`) differs from utterance i's.
+    Returns ``None`` — with a loud warning, never silently — when the
+    corpus has fewer than 2 distinct real voices, in which case pairing
+    is unconstrained (the reference's double-dequeue behavior,
+    Source_Separation/reader.py:248-249, which is safe only on
+    ~100k-speaker corpora).  Shared by the banked and streaming loaders
+    so the gate can never drift between them."""
+    real = [real_speaker_of(p) for p in paths]
+    spk = np.asarray(real)
+    if len(set(real)) >= 2:
+        return [np.flatnonzero(spk != s) for s in real]
+    print("WARNING: separator speaker-disjoint sampling DISABLED — "
+          f"corpus has {len(set(real))} distinct real voice(s); "
+          "target/interferer pairs are unconstrained (same-voice "
+          "mixtures possible)", flush=True)
+    return None
+
+
 def corpus_bytes(paths: List[str]) -> int:
     """Approximate decoded int16 bytes (wav payload ~= file size)."""
     return sum(os.path.getsize(p) for p in paths)
@@ -193,25 +214,11 @@ class BankIndexLoader:
         self._seed = cfg.data.seed if seed is None else seed
         self._step = start_step
         # speaker-disjoint interference sampling table (separator) —
-        # disjoint on the REAL voice (pseudo-speaker perturbation tags
-        # stripped), so a voice is never paired with a resampled copy
-        # of itself (see real_speaker_of)
+        # disjoint on the REAL voice, see build_disjoint_table (banks
+        # are single-host only, so speech_paths IS the full manifest)
         self._other: Optional[List[np.ndarray]] = None
         if not self.two_noise:
-            real = [real_speaker_of(p) for p in banks.speech_paths]
-            spk = np.asarray(real)
-            if len(set(real)) >= 2:
-                self._other = [np.flatnonzero(spk != s) for s in real]
-            else:
-                # loud, not silent: unconstrained pairing reintroduces the
-                # same-voice ill-posed supervision this table exists to
-                # prevent (reference double-dequeue, Source_Separation/
-                # reader.py:248-249, is safe only on ~100k-speaker corpora)
-                print("WARNING: separator speaker-disjoint sampling "
-                      f"DISABLED — corpus has {len(set(real))} distinct "
-                      "real voice(s); target/interferer pairs are "
-                      "unconstrained (same-voice mixtures possible)",
-                      flush=True)
+            self._other = build_disjoint_table(banks.speech_paths)
 
     def __iter__(self):
         return self

@@ -58,8 +58,8 @@ class TrainLoader:
         # per-host manifest shard: host i of n reads items[i::n]
         # (multi-host data parallelism; parallel/mesh.py)
         from nhans_tpu.parallel.mesh import process_shard
-        self.speech = process_shard(load_seeds(cfg.data.speech_wav_dir,
-                                               split))
+        speech_full = load_seeds(cfg.data.speech_wav_dir, split)
+        self.speech = process_shard(speech_full)
         if self.two_noise:
             self.noise = process_shard(load_seeds(cfg.data.noise_wav_dir,
                                                   split))
@@ -68,22 +68,21 @@ class TrainLoader:
         if not self.speech or not self.noise:
             raise ValueError("empty manifest(s)")
         # separator: speaker-disjoint target/interferer sampling on the
-        # REAL voice, mirroring the banked loader (data/banks.py).  The
-        # reference's double-dequeue never constrains this — safe on a
-        # ~100k-utterance corpus, ill-posed on a small one (PARITY.md)
+        # REAL voice (shared gate: data/banks.py build_disjoint_table).
+        # The table is built over the FULL manifest and interferers are
+        # drawn from it globally: a per-host shard that happens to hold
+        # one real voice must not silently lose the disjoint constraint
+        # (interference material is random conditioning audio, so every
+        # host reading any file is correct — only CLEAN utterances need
+        # host-sharding for data parallelism)
         self._other: Optional[List[np.ndarray]] = None
+        self._speech_full: List[str] = speech_full
+        self._shard_to_full: Optional[List[int]] = None
         if not self.two_noise:
-            from nhans_tpu.data.banks import real_speaker_of
-            real = [real_speaker_of(p) for p in self.speech]
-            spk = np.asarray(real)
-            if len(set(real)) >= 2:
-                self._other = [np.flatnonzero(spk != s) for s in real]
-            else:
-                print("WARNING: separator speaker-disjoint sampling "
-                      f"DISABLED — corpus has {len(set(real))} distinct "
-                      "real voice(s); target/interferer pairs are "
-                      "unconstrained (same-voice mixtures possible)",
-                      flush=True)
+            from nhans_tpu.data.banks import build_disjoint_table
+            self._other = build_disjoint_table(speech_full)
+            full_idx = {p: k for k, p in enumerate(speech_full)}
+            self._shard_to_full = [full_idx[p] for p in self.speech]
         self._q: "queue.Queue" = queue.Queue(maxsize=cfg.data.prefetch * 2)
         self._err: List[BaseException] = []
         self._stop = threading.Event()
@@ -115,9 +114,14 @@ class TrainLoader:
                         for _ in range(B)]
                 cpaths = [self.speech[i] for i in cidx]
                 if self._other is not None:
-                    # separator: interferer from a DIFFERENT real voice
-                    apaths = [self.noise[self._other[i][rng.integers(
-                        len(self._other[i]))]] for i in cidx]
+                    # separator: interferer from a DIFFERENT real voice,
+                    # drawn from the FULL manifest (table indices are
+                    # full-manifest positions; clean index i is local to
+                    # this host's shard)
+                    apaths = [self._speech_full[
+                        self._other[self._shard_to_full[i]][rng.integers(
+                            len(self._other[self._shard_to_full[i]]))]]
+                        for i in cidx]
                 else:
                     apaths = [self.noise[rng.integers(len(self.noise))]
                               for _ in range(B)]

@@ -432,9 +432,12 @@ class Enhancer:
             # now diverges from the reference's unbounded exp()
             # (apply.py:453-461); rerun with --recon_residual_cap 0
             # for strict-parity comparisons
+            worst = int(np.argmax(cap_frac[:nreal]))
             print("NOTE: recon_residual_cap clipped "
-                  f"{100 * float(np.max(cap_frac[:nreal])):.2f}% of "
-                  "spectrogram bins in at least one utterance "
+                  f"{100 * float(cap_frac[worst]):.2f}% of "
+                  f"spectrogram bins (worst: utterance {worst} of "
+                  f"{nreal} in this batch; per-utterance fractions in "
+                  "the returned cap_clip_frac) "
                   "(--recon_residual_cap 0 disables the cap)",
                   flush=True)
         if den.dtype == np.int16:  # undo the wire quantization scale

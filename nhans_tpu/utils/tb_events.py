@@ -112,7 +112,10 @@ class EventFileWriter:
     def __init__(self, logdir: str, name_suffix: str = ""):
         os.makedirs(logdir, exist_ok=True)
         host = socket.gethostname() or "host"
+        # <ts>.<host>.<pid> matches TF's convention and keeps two runs
+        # started within the same second from appending to one file
         fname = (f"events.out.tfevents.{int(time.time())}.{host}"
+                 f".{os.getpid()}"
                  f"{('.' + name_suffix) if name_suffix else ''}")
         self.path = os.path.join(logdir, fname)
         self._f = open(self.path, "ab")

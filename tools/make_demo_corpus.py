@@ -138,6 +138,8 @@ def _write_int16_array(x, dst_dir, name, segment=0):
             wavfile.write(os.path.join(dst_dir, f"{stem}_{j}{ext}"),
                           16000, piece)
         return
+    if len(x) < 16000:  # same sub-second filter as the segmented path
+        return
     wavfile.write(os.path.join(dst_dir, name), 16000, x)
 
 
@@ -218,7 +220,8 @@ def build_seen_eval(out_root, min_segments=2):
     by_spk = {}
     for f in sorted(os.listdir(train_dir)):
         m = re.match(r"(spk[a-z0-9]+)_", f)
-        if not m or "_sp" in f[len(m.group(1)):]:
+        if not m or "_sp" in f[len(m.group(1)):] \
+                or "_vt" in f[len(m.group(1)):]:
             continue  # perturbed copies duplicate material
         if not m.group(1).endswith("t") and not m.group(1).endswith("i"):
             continue
@@ -290,6 +293,77 @@ def _speed_perturb(src_dir, factors=(0.9, 1.1), pseudo=False):
                     src_dir, stem[:-4] + f"_sp{tag}_{j}.wav"), rate, piece)
 
 
+def _vtlp_warp(x, alpha, sr=16000):
+    """Vocal-tract-length perturbation: piecewise-linear frequency warp
+    of the STFT (Jaitly & Hinton, ICML-WDL 2013), resynthesized by
+    inverse STFT.  Unlike speed perturbation (which shifts pitch, tempo
+    and formants together, keeping the result acoustically close to the
+    parent voice), VTLP rescales the FORMANT structure alone — the
+    standard cheap way to mint genuinely distinct spectral envelopes
+    from one recording.  ``alpha`` < 1 compresses formants (longer
+    vocal tract), > 1 stretches them.  Returns int16, same length."""
+    from scipy.signal import istft, stft
+    nper, nover = 400, 240
+    _f, _t, Z = stft(np.asarray(x, np.float64), fs=sr, window="hann",
+                     nperseg=nper, noverlap=nover)
+    nbins = Z.shape[0]
+    nyq = sr / 2.0
+    freqs = np.linspace(0.0, nyq, nbins)
+    # forward warp w(f): slope alpha below the boundary f0, then linear
+    # up to Nyquist so the warp is a bijection of [0, nyq]
+    fhi = 4800.0
+    f0 = fhi * min(alpha, 1.0) / alpha
+    w = np.where(freqs <= f0, alpha * freqs,
+                 nyq - (nyq - alpha * f0) * (nyq - freqs) / (nyq - f0))
+    # output bin g samples the input spectrum at f_in = w^{-1}(g)
+    src = np.interp(freqs, w, freqs) / (freqs[1] - freqs[0])
+    lo = np.clip(np.floor(src).astype(np.int64), 0, nbins - 1)
+    hi = np.minimum(lo + 1, nbins - 1)
+    frac = (src - lo)[:, None]
+    Wz = Z[lo] * (1.0 - frac) + Z[hi] * frac
+    _t2, y = istft(Wz, fs=sr, window="hann", nperseg=nper, noverlap=nover)
+    y = y[:len(x)]
+    if len(y) < len(x):
+        y = np.pad(y, (0, len(x) - len(y)))
+    peak = np.max(np.abs(y)) + 1e-9
+    ref_peak = float(np.max(np.abs(np.asarray(x, np.float64))) + 1e-9)
+    return np.clip(np.rint(y / peak * ref_peak),
+                   -32768, 32767).astype(np.int16)
+
+
+def _vtlp_perturb(src_dir, alphas=(0.9, 1.1), pseudo=False):
+    """Write VTLP-warped copies of every wav in ``src_dir`` alongside the
+    originals, as ``<stem>_vt<tag>_<j>.wav``.  Tag = int(alpha*1000)
+    (e.g. 900/1100), disjoint from the speed-perturb tag space (09/095/
+    105/11) so a speed copy and a VTLP copy of one file never collide.
+    ``pseudo=True`` folds ``p<tag>`` into the speaker id, making each
+    warped voice a DISTINCT identity for the separator's speaker-aware
+    sampler while ``real_speaker_of``'s fixpoint strip (data/banks.py)
+    still collapses it to the parent voice — a voice is never PAIRED
+    against a formant-shifted copy of itself.  Run BEFORE
+    ``_speed_perturb`` so the speed pass multiplies the VTLP voices too
+    ((1+V)x(1+S) pseudo-identities per real voice)."""
+    import re
+    for f in sorted(os.listdir(src_dir)):
+        if not f.endswith(".wav"):
+            continue
+        rate, x = wavfile.read(os.path.join(src_dir, f))
+        for alpha in alphas:
+            y = _vtlp_warp(x, alpha, sr=rate)
+            tag = str(int(round(alpha * 1000)))
+            stem = f
+            if pseudo:
+                m = re.match(r"^(spk[A-Za-z0-9]+)(_.*)$", f)
+                if m:
+                    stem = f"{m.group(1)}p{tag}{m.group(2)}"
+            for j, s0 in enumerate(range(0, len(y), SEG)):
+                piece = y[s0:s0 + SEG]
+                if len(piece) < 16000:
+                    continue
+                wavfile.write(os.path.join(
+                    src_dir, stem[:-4] + f"_vt{tag}_{j}.wav"), rate, piece)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/nhans_corpus")
@@ -301,6 +375,16 @@ def main():
                         "perturbation (each adds a tempo+pitch variant; "
                         "more factors = more pseudo-speaker identities "
                         "for the separator's embedding net)")
+    p.add_argument("--vtlp", action="store_true", default=False,
+                   help="add vocal-tract-length-perturbed copies of "
+                        "train speech (formant-only spectral warp; "
+                        "genuinely distinct voice envelopes, unlike "
+                        "speed perturbation which shifts pitch+tempo "
+                        "together keeping copies acoustically close to "
+                        "their parent).  Runs BEFORE --speed_perturb so "
+                        "the speed pass multiplies the VTLP voices")
+    p.add_argument("--vtlp_alphas", default="0.9,1.1",
+                   help="comma-separated VTLP warp factors")
     p.add_argument("--pseudo_speakers", action="store_true", default=False,
                    help="fold the speed-perturb factor tag into the "
                         "speaker id (spk<ID>p<tag>_) so each resampled "
@@ -497,6 +581,11 @@ def main():
         print(f"sns_train: +{n_sp} speech wavs (speakers not in "
               f"{sorted(eval_spk)}), +{n_ns} noise recordings")
 
+    if args.vtlp:
+        _vtlp_perturb(train_dir,
+                      alphas=tuple(float(a) for a in
+                                   args.vtlp_alphas.split(",")),
+                      pseudo=args.pseudo_speakers)
     if args.speed_perturb:
         _speed_perturb(train_dir,
                        factors=tuple(float(f) for f in
