@@ -149,6 +149,19 @@ class DataConfig:
     speech_wav_dir: str = "./speech_wav_dir/"
     noise_wav_dir: str = "./noise_wav_dir/"
     eval_seeds: str = "valid"      # reference reader.py:38
+    # Eval clean<->noise pairing mode:
+    #   "wrap"  (default): clean i pairs with noise[(2i)%N], noise[(2i+1)%N]
+    #           (separator: interferer = speech[(i+1)%N]) — every utterance
+    #           is scored once, noises cycle.  Internal-trend convention of
+    #           rounds 1-4; changing it would invalidate history.
+    #   "queue": the reference's queue-order equivalent — 1-epoch unshuffled
+    #           producers (reference reader.py:273-279): eval STOPS when the
+    #           noise list exhausts instead of wrapping (utterances beyond
+    #           len(noise)//2 are not scored); separator dequeues the ONE
+    #           speech queue twice (Source_Separation/reader.py:248-249):
+    #           clean = speech[2j], interferer = speech[2j+1].  Use for
+    #           absolute numbers comparable to a reference eval run.
+    eval_pairing: str = "wrap"
     random_slices: int = 50        # crops per utterance, reference reader.py:36
     # Crops taken per utterance *per device step* in the TPU pipeline.  The
     # reference enqueues 50 crops/utt into a shuffle queue; on TPU we mix on
@@ -343,6 +356,15 @@ def add_reference_flags(parser, *, inference: bool = False,
                              "a single host)")
     parser.add_argument("--device_corpus_mb", type=int, default=512)
     parser.add_argument("--eval_seeds", default="valid")
+    parser.add_argument("--eval_pairing", default="wrap",
+                        choices=("wrap", "queue"),
+                        help="eval clean<->noise pairing: 'wrap' (cycle "
+                             "noises, every utterance scored; rounds 1-4 "
+                             "trend convention) or 'queue' (reference "
+                             "1-epoch queue-order equivalent: truncates "
+                             "at noise exhaustion; separator pairs "
+                             "speech[2j] vs speech[2j+1] — absolute "
+                             "numbers comparable to a reference run)")
     parser.add_argument("--wav_dump_folder", default="./wav_dump/")
     parser.add_argument("--speech_wav_dir", default="./speech_wav_dir/")
     parser.add_argument("--noise_wav_dir", default="./noise_wav_dir/")
@@ -413,6 +435,7 @@ def config_from_args(args, task: str = "denoiser") -> Config:
         speech_wav_dir=getattr(args, "speech_wav_dir", "./speech_wav_dir/"),
         noise_wav_dir=getattr(args, "noise_wav_dir", "./noise_wav_dir/"),
         eval_seeds=getattr(args, "eval_seeds", "valid"),
+        eval_pairing=getattr(args, "eval_pairing", "wrap"),
         random_slices=getattr(args, "random_slices", 50),
         slices_per_step=getattr(args, "slices_per_step", 4),
         augment_noise=getattr(args, "augment_noise", False),

@@ -262,14 +262,28 @@ class EvalLoader:
 
     def _plan(self):
         snrs = self.cfg.task.snr_set
+        queue_order = self.cfg.data.eval_pairing == "queue"
         for i, cpath in enumerate(self.speech):
             if self.two_noise:
+                if queue_order and 2 * i + 1 >= len(self.noise):
+                    # reference 1-epoch noise producer exhausts: eval
+                    # ends here (reference reader.py:273-279 OutOfRange)
+                    return
                 apath = self.noise[(2 * i) % len(self.noise)]
                 bpath = self.noise[(2 * i + 1) % len(self.noise)]
                 snr_a = snrs[snr_index_from_path(cpath, len(snrs), 8)]
                 snr_b = snrs[snr_index_from_path(cpath, len(snrs), 6)]
             else:
-                apath = self.speech[(i + 1) % len(self.speech)]
+                if queue_order:
+                    # reference double-dequeue of the ONE speech queue
+                    # (Source_Separation/reader.py:248-249): example j
+                    # is clean=speech[2j] vs interferer=speech[2j+1]
+                    if 2 * i + 1 >= len(self.speech):
+                        return
+                    cpath = self.speech[2 * i]
+                    apath = self.speech[2 * i + 1]
+                else:
+                    apath = self.speech[(i + 1) % len(self.speech)]
                 bpath = None
                 snr_a = snrs[snr_index_from_path(cpath, len(snrs), 8)]
                 snr_b = 0

@@ -75,6 +75,51 @@ def test_eval_loader_deterministic(tmp_path):
     assert all(s in cfg.task.snr_set for _, s, _ in a)
 
 
+def test_eval_loader_queue_pairing(tmp_path):
+    """--eval_pairing queue reproduces the reference's 1-epoch
+    queue-order semantics: the denoiser eval truncates when the noise
+    list exhausts instead of wrapping (reference reader.py:273-279), and
+    the separator pairs speech[2j] vs speech[2j+1] — the double dequeue
+    of the one speech queue (Source_Separation/reader.py:248-249)."""
+    from nhans_tpu.data.loader import EvalLoader
+    cfg = _cfg(tmp_path)
+    # custom valid split: 5 speech, 4 noise
+    from scipy.io import wavfile
+    rng = np.random.default_rng(1)
+    for root, names in ((cfg.data.speech_wav_dir, 5),
+                        (cfg.data.noise_wav_dir, 4)):
+        d = os.path.join(root, "valid")
+        for f in os.listdir(d):
+            os.remove(os.path.join(d, f))
+        for i in range(names):
+            wavfile.write(os.path.join(d, f"q{i}.wav"), 16000,
+                          (rng.standard_normal(16000) * 3000)
+                          .astype(np.int16))
+        from nhans_tpu.data.manifest import create_seeds
+        create_seeds(root)
+
+    wrap = list(EvalLoader(cfg))
+    assert len(wrap) == 5  # every utterance scored, noises cycle
+
+    qcfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                eval_pairing="queue"))
+    q = list(EvalLoader(qcfg))
+    assert len(q) == 2  # 4 noises / 2 per utterance -> truncation
+    assert [os.path.basename(e["path_a"]) for e in q] == ["q0.wav",
+                                                          "q2.wav"]
+    assert [os.path.basename(e["path_b"]) for e in q] == ["q1.wav",
+                                                          "q3.wav"]
+
+    # separator: one queue dequeued twice -> (2j, 2j+1) clean/interferer
+    sep = Config.separator().replace(data=qcfg.data)
+    qs = list(EvalLoader(sep))
+    assert len(qs) == 2
+    assert [os.path.basename(e["cleanpath"]) for e in qs] == ["q0.wav",
+                                                              "q2.wav"]
+    assert [os.path.basename(e["path_a"]) for e in qs] == ["q1.wav",
+                                                           "q3.wav"]
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     from nhans_tpu.train.checkpoint import Checkpointer
