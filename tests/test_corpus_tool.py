@@ -16,6 +16,7 @@ import re
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -237,3 +238,71 @@ def test_synth_noises_pooled(corpus4):
     with open(os.path.join(corpus4, "noise", "train.json")) as f:
         manifest = json.load(f)
     assert sum("nsyn" in p for p in manifest) == 4
+
+
+# ---------------------------------------------------------------------------
+# VTLP pseudo-voices (round 5)
+
+def _formant_signal(sr=16000, secs=2.0, pitch=200.0, formant=1000.0):
+    t = np.arange(int(sr * secs)) / sr
+    x = np.zeros_like(t)
+    for h in range(1, 30):
+        f = pitch * h
+        x += np.exp(-((f - formant) / 400.0) ** 2) * np.sin(
+            2 * np.pi * f * t)
+    return (x / np.max(np.abs(x)) * 20000).astype(np.int16)
+
+
+def test_vtlp_moves_envelope_keeps_pitch():
+    """The warp must move the SPECTRAL ENVELOPE by ~alpha while leaving
+    the harmonic comb (pitch) in place — the definition of a
+    vocal-tract-length change.  Guards against the round-5 regression
+    where gathering complex STFT bins left all energy at the source
+    frequencies (the transform silently degenerated to identity+noise)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_demo_corpus import _vtlp_warp
+
+    x = _formant_signal()
+    fr = np.fft.rfftfreq(len(x), 1 / 16000)
+    X2 = np.abs(np.fft.rfft(x.astype(float))) ** 2
+    cx = (fr * X2).sum() / X2.sum()
+    for alpha in (0.9, 1.1):
+        y = _vtlp_warp(x, alpha)
+        assert len(y) == len(x)
+        Y = np.abs(np.fft.rfft(y.astype(float)))
+        cy = (fr * Y ** 2).sum() / (Y ** 2).sum()
+        ratio = cy / cx
+        if alpha < 1:
+            assert ratio < 0.97, ratio  # envelope moved down...
+        else:
+            assert ratio > 1.03, ratio  # ...or up
+        assert abs(ratio - alpha) < 0.06, (alpha, ratio)
+        # harmonics stay on the 200 Hz comb: every spectral peak above
+        # 5% of max lies within 20 Hz of a multiple of the pitch
+        pk = [fr[i] for i in range(2, len(Y) - 2)
+              if Y[i] > Y[i - 1] and Y[i] > Y[i + 1]
+              and Y[i] > 0.05 * Y.max()]
+        assert pk, "no harmonic peaks survived the warp"
+        off = [abs(f - 200.0 * round(f / 200.0)) for f in pk]
+        assert max(off) < 20.0, sorted(zip(off, pk))[-3:]
+
+
+def test_vtlp_identity_alpha_one():
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_demo_corpus import _vtlp_warp
+
+    x = _formant_signal(secs=1.0)
+    y = _vtlp_warp(x, 1.0)
+    assert np.abs(y.astype(float) - x.astype(float)).max() <= 1.0
+
+
+def test_vtlp_pseudo_speaker_tags_strip_to_parent():
+    """VTLP pseudo tags (p900/p1100) must collapse to the parent voice
+    through real_speaker_of's fixpoint strip, including stacked with
+    speed-perturb tags, so a voice is never paired against its own
+    formant-shifted copy."""
+    from nhans_tpu.data.banks import real_speaker_of
+
+    assert real_speaker_of("spks3tp900_vt900_0.wav") == "s3t"
+    assert real_speaker_of("spks3tp900p09_vt900_0_sp09_1.wav") == "s3t"
+    assert real_speaker_of("spks3tp0p1100_r_vt1100_0.wav") == "s3t"
