@@ -306,3 +306,83 @@ def test_vtlp_pseudo_speaker_tags_strip_to_parent():
     assert real_speaker_of("spks3tp900_vt900_0.wav") == "s3t"
     assert real_speaker_of("spks3tp900p09_vt900_0_sp09_1.wav") == "s3t"
     assert real_speaker_of("spks3tp0p1100_r_vt1100_0.wav") == "s3t"
+
+
+# ---------------------------------------------------------------------------
+# Neutral arbiter split (round 5): speech/noise/arbiter must be usable
+# for denoiser ship decisions that NO past or future finalist's
+# training or selection touched.
+
+@pytest.fixture(scope="module")
+def arbiter(corpus4):
+    subprocess.run(
+        [sys.executable, TOOL, "--out", corpus4, "--only_arbiter"],
+        check=True, capture_output=True, text=True)
+    return corpus4
+
+
+def test_arbiter_speech_is_exactly_valid_sep(arbiter):
+    """Arbiter speech = the valid_sep voices verbatim: deterministic
+    last-3 held-out separation voices, in no train split since v3 and
+    in no denoiser selection split ever."""
+    import hashlib
+
+    with open(os.path.join(arbiter, "speech", "valid_sep.json")) as f:
+        vs = json.load(f)
+    with open(os.path.join(arbiter, "speech", "arbiter.json")) as f:
+        arb = json.load(f)
+    assert len(arb) == len(vs) == 6
+
+    def md5(p):
+        with open(p, "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    assert sorted(md5(p) for p in vs) == sorted(md5(p) for p in arb)
+
+
+def test_arbiter_noise_disjoint_from_all_training_noise(arbiter):
+    """Arbiter noises come from the EXTENDED synth families with their
+    own seed: no byte overlap with any train/valid/test noise, and none
+    of the base-family nsyn files (which seeded v4 training)."""
+    import hashlib
+
+    with open(os.path.join(arbiter, "noise", "arbiter.json")) as f:
+        arb = json.load(f)
+    assert len(arb) == 12
+    assert all(os.path.basename(p).startswith("narb") for p in arb)
+
+    def md5(p):
+        with open(p, "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    arb_md5 = {md5(p) for p in arb}
+    others = set()
+    for split in ("train", "valid", "test"):
+        d = os.path.join(arbiter, "noise", split)
+        if os.path.isdir(d):
+            others |= {md5(os.path.join(d, f)) for f in os.listdir(d)
+                       if f.endswith(".wav")}
+    assert not (arb_md5 & others)
+
+
+def test_arbiter_noise_count_covers_pairing(arbiter):
+    """Default denoiser eval pairing draws noise[(2i)%N] and
+    noise[(2i+1)%N]: 12 noises over 6 utterances = every utterance gets
+    a DISTINCT (pos, neg) pair with no wraparound reuse."""
+    with open(os.path.join(arbiter, "speech", "arbiter.json")) as f:
+        sp = json.load(f)
+    with open(os.path.join(arbiter, "noise", "arbiter.json")) as f:
+        ns = json.load(f)
+    assert len(ns) >= 2 * len(sp)
+
+
+def test_extended_families_disjoint_from_base():
+    """The arbiter families must not be reachable from a base-family
+    build (they would leak into training corpora via --synth_count)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import synth_noises
+
+    base = {f.__name__ for f in synth_noises.FAMILIES}
+    ext = {f.__name__ for f in synth_noises.EXTENDED_FAMILIES}
+    assert not (base & ext)
+    assert ext == {"sawtooth_buzz", "gated_bursts", "tonal_cluster"}

@@ -246,6 +246,74 @@ def build_seen_eval(out_root, min_segments=2):
     return paths
 
 
+def build_arbiter(out_root, count=12, seed=777):
+    """Write ``speech/arbiter`` + ``noise/arbiter`` (+manifests): the
+    round-5 NEUTRAL ARBITER split for DENOISER ship decisions.
+
+    Motivation (VERDICT round 4): the r3-vs-q4 flagship decision had no
+    split that neither finalist's training or selection touched — v4
+    valid is biased toward r3 (its speech trained r3 via --sns_train)
+    and the golden 7 are the REPORT set.  This split is neutral by
+    construction for every past and future DENOISER candidate:
+
+    * speech = the ``valid_sep`` utterances verbatim: the
+      deterministic last-3 held-out separation voices (plus their
+      residual interferers), excluded from train in every corpus since
+      v3 and never used by any denoiser selection;
+    * noise = ``count`` clips from the EXTENDED synth families
+      (tools/synth_noises.py sawtooth_buzz/gated_bursts/tonal_cluster,
+      fresh seed): the BASE families seeded v4 training noise, so
+      base-family arbiter noise would hand v4-trained candidates an
+      in-distribution advantage; the extended families appear in no
+      training pool.
+
+    Scope: denoiser decisions ONLY — separator candidates SELECT on
+    valid_sep, so this speech is not neutral for them.  Mixing SNRs are
+    md5-deterministic per utterance (EvalLoader convention, reference
+    reader.py:213-216); with 2*count >= utterances each eval utterance
+    draws a distinct (pos, neg) noise pair under the default
+    ``noise[(2i) % N]`` pairing.  Additive: only touches arbiter/
+    dirs + manifests; safe next to a live run on the same corpus."""
+    import json
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    vs_manifest = os.path.join(out_root, "speech", "valid_sep.json")
+    assert os.path.exists(vs_manifest), \
+        "arbiter needs valid_sep (build with --separator_holdout first)"
+    with open(vs_manifest) as f:
+        vs_paths = json.load(f)
+    sp_dir = os.path.join(out_root, "speech", "arbiter")
+    ns_dir = os.path.join(out_root, "noise", "arbiter")
+    for d in (sp_dir, ns_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    os.makedirs(sp_dir)
+    paths = []
+    for p_ in vs_paths:
+        dst = os.path.join(sp_dir, os.path.basename(p_))
+        shutil.copyfile(p_, dst)
+        paths.append(dst)
+    with open(os.path.join(out_root, "speech", "arbiter.json"), "w") as f:
+        json.dump(paths, f, indent=1)
+    subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "synth_noises.py"),
+         "--out", ns_dir, "--count", str(count), "--seconds", "8",
+         "--seed", str(seed), "--families", "extended",
+         "--prefix", "narb"],
+        check=True)
+    ns_paths = sorted(os.path.join(ns_dir, f) for f in os.listdir(ns_dir)
+                      if f.endswith(".wav"))
+    with open(os.path.join(out_root, "noise", "arbiter.json"), "w") as f:
+        json.dump(ns_paths, f, indent=1)
+    print(f"arbiter: {len(paths)} speech (= valid_sep voices) + "
+          f"{len(ns_paths)} extended-family noises -> {sp_dir}")
+    return paths, ns_paths
+
+
 def _speed_perturb(src_dir, factors=(0.9, 1.1), pseudo=False):
     """Kaldi-style speed perturbation of every wav in ``src_dir``:
     resample by 1/factor (tempo+pitch shift), written alongside the
@@ -472,9 +540,17 @@ def main():
                         "existing corpus at --out (additive; safe next "
                         "to a live run) — the seen-speaker separator "
                         "eval split, see build_seen_eval")
+    p.add_argument("--only_arbiter", action="store_true", default=False,
+                   help="only (re)build the NEUTRAL ARBITER split "
+                        "(speech/arbiter + noise/arbiter) from an "
+                        "existing corpus at --out (additive; safe next "
+                        "to a live run) — see build_arbiter")
     args = p.parse_args()
     if args.only_seen_eval:
         build_seen_eval(args.out)
+        return
+    if args.only_arbiter:
+        build_arbiter(args.out)
         return
 
     speech = os.path.join(args.out, "speech")

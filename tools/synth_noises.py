@@ -122,15 +122,81 @@ def am_broadband(rng, n):
     return x * env
 
 
+def sawtooth_buzz(rng, n):
+    """Band-limited sawtooth with drifting f0 — harmonically DENSE
+    (every partial at 1/k), structurally unlike harmonic_stack's
+    geometric-decay sine stacks.  Buzzer / power-line / engine-rev."""
+    t = np.arange(n) / FS
+    f0 = rng.uniform(50, 400)
+    drift = rng.uniform(-0.3, 0.3)  # octaves over the clip
+    f = f0 * 2.0 ** (drift * t / t[-1])
+    phase = 2 * np.pi * np.cumsum(f) / FS
+    x = np.zeros(n)
+    kmax = int(7600 / max(f0, f0 * 2.0 ** drift))
+    for k in range(1, max(2, min(kmax, 60))):
+        x += np.sin(k * phase) / k
+    return x
+
+
+def gated_bursts(rng, n):
+    """Broadband noise through a random on/off gate (jackhammer /
+    typing / machine-gun): silence-separated energy bursts, a temporal
+    structure none of the base families produce."""
+    x = rng.standard_normal(n)
+    if rng.random() < 0.5:
+        b, a = butter(1, rng.uniform(0.1, 0.9))
+        x = lfilter(b, a, x)
+    gate = np.zeros(n)
+    pos = 0
+    while pos < n:
+        on = int(rng.uniform(0.01, 0.15) * FS)
+        off = int(rng.uniform(0.03, 0.4) * FS)
+        gate[pos:pos + on] = 1.0
+        pos += on + off
+    # soften gate edges (5 ms ramps) so bursts aren't clicks
+    ramp = np.ones(int(0.005 * FS))
+    gate = np.convolve(gate, ramp / len(ramp), mode="same")
+    return x * gate
+
+
+def tonal_cluster(rng, n):
+    """Inharmonic partial cluster with per-partial exponential decay,
+    re-struck at random times — bell / metallic-impact spectra (partial
+    ratios drawn uniformly, NOT integer multiples)."""
+    t = np.arange(n) / FS
+    x = np.zeros(n)
+    base = rng.uniform(200, 2000)
+    ratios = np.sort(rng.uniform(1.0, 6.3, size=rng.integers(3, 9)))
+    strikes = sorted(rng.uniform(0, 0.8 * n / FS,
+                                 size=rng.integers(1, 5)))
+    for s in strikes:
+        dt = np.clip(t - s, 0, None)
+        active = dt > 0
+        for r in ratios:
+            tau = rng.uniform(0.2, 2.0)
+            x[active] += (np.exp(-dt[active] / tau)
+                          * np.sin(2 * np.pi * base * r * dt[active])
+                          * rng.uniform(0.3, 1.0))
+    return x
+
+
 FAMILIES = (harmonic_stack, chirp, narrowband, impulse_train, am_broadband)
 
+# Families introduced for the round-5 NEUTRAL ARBITER split
+# (docs/QUALITY.md): the base FAMILIES seeded v4 training noise, so an
+# arbiter drawing from them would hand the v4-trained finalist an
+# in-distribution advantage.  These three are structurally disjoint
+# (dense-harmonic sawtooth, gated temporal bursts, inharmonic clusters)
+# and are used ONLY by --families extended builds.
+EXTENDED_FAMILIES = (sawtooth_buzz, gated_bursts, tonal_cluster)
 
-def synth_one(rng, n):
-    fams = list(rng.permutation(len(FAMILIES)))
-    x = FAMILIES[fams[0]](rng, n)
+
+def synth_one(rng, n, families=FAMILIES):
+    fams = list(rng.permutation(len(families)))
+    x = families[fams[0]](rng, n)
     x = x / (np.std(x) + 1e-9)
-    if rng.random() < 0.35:  # mixture of two families
-        y = FAMILIES[fams[1]](rng, n)
+    if rng.random() < 0.35 and len(families) > 1:  # mixture of two
+        y = families[fams[1]](rng, n)
         x = x + y / (np.std(y) + 1e-9) * rng.uniform(0.3, 1.0)
     return x
 
@@ -142,13 +208,19 @@ def main():
     p.add_argument("--seconds", type=float, default=8.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prefix", default="nsyn")
+    p.add_argument("--families", choices=("base", "extended"),
+                   default="base",
+                   help="base = the 5 training families; extended = the "
+                        "3 arbiter-only families (structurally disjoint "
+                        "from every training noise source)")
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     n = int(args.seconds * FS)
+    fams = FAMILIES if args.families == "base" else EXTENDED_FAMILIES
     for i in range(args.count):
-        x = synth_one(rng, n)
+        x = synth_one(rng, n, families=fams)
         wavfile.write(os.path.join(args.out, f"{args.prefix}{i:03d}.wav"),
                       FS, _norm(x))
     print(f"wrote {args.count} synthetic noises ({args.seconds:.0f}s each) "
