@@ -21,21 +21,43 @@ import numpy as np
 
 
 def derive_separator_contexts(mixed: np.ndarray, golden: np.ndarray,
-                              fs: int = 16000):
-    """(target_ctx, interference_ctx) carved from the first 2 s of a
-    separation example that ships only ``mixed`` + the published model's
-    separated output.
+                              fs: int = 16000, mode: str = "head2s"):
+    """(target_ctx, interference_ctx) for a separation example that
+    ships only ``mixed`` + the published model's separated output.
 
     The published pipeline rescales its outputs (peak-normalization by
     the mixed max, reference apply.py:189-204), so the output is first
     least-squares-projected back onto the mixed recording's scale; the
-    interference context is the residual ``mixed - a*golden``.
+    interference signal is the residual ``mixed - a*golden`` (the
+    reference's own removed.wav convention, apply.py:453-461).
+
+    ``mode``:
+      * ``head2s`` — both contexts are the FIRST 2 s of their signal
+        (rounds 3-4 behavior).  Weakness: the head may be silence or a
+        single-voice region, giving a thin conditioning sample.
+      * ``residual_full`` — derive over the FULL example, then hand the
+        model the 2 s window of each signal with MAXIMUM energy (the
+        most voice-active stretch), hop 0.25 s.  Separates the
+        conditioning-quality confound from the model-quality one
+        (VERDICT round-4 item 8).
     """
     L = min(len(mixed), len(golden))
     m2, g2 = mixed[:L], golden[:L]
     a = float(np.dot(m2, g2) / (np.dot(g2, g2) + 1e-9))
+    tgt, res = a * g2, m2 - a * g2
     ctx_n = 2 * fs
-    return (a * g2)[:ctx_n], (m2 - a * g2)[:ctx_n]
+    if mode == "head2s" or L <= ctx_n:
+        return tgt[:ctx_n], res[:ctx_n]
+
+    def best_window(x):
+        hop = fs // 4
+        starts = range(0, len(x) - ctx_n + 1, hop)
+        e = [float(np.dot(x[s:s + ctx_n], x[s:s + ctx_n]))
+             for s in starts]
+        s = list(starts)[int(np.argmax(e))]
+        return x[s:s + ctx_n]
+
+    return best_window(tgt), best_window(res)
 
 
 def find_examples(root: str, task: str):
@@ -84,6 +106,13 @@ def main():
                    help="also score the --ac energy-compensated output "
                         "(reference apply.py:463-472: denoised + removed "
                         "* snr_est/20), reported as *_ac keys")
+    p.add_argument("--ctx_mode", default="head2s",
+                   choices=("head2s", "residual_full"),
+                   help="separator-context derivation for example dirs "
+                        "that ship only mixed+output: head2s = first "
+                        "2 s (rounds 3-4); residual_full = max-energy "
+                        "2 s window of the full-example projection / "
+                        "residual (see derive_separator_contexts)")
     p.add_argument("--buckets", default="",
                    help="comma-separated length buckets in seconds (e.g. "
                         "'8'): one shared bucket = one program compile for "
@@ -122,7 +151,8 @@ def main():
             # published model's output — carve both contexts from the
             # first 2 s (see derive_separator_contexts)
             g = wavio.read_for_processing(ex["golden"])
-            pos, neg = derive_separator_contexts(mixed, g)
+            pos, neg = derive_separator_contexts(mixed, g,
+                                                 mode=args.ctx_mode)
         if args.task == "separator":
             ctx_a, ctx_b = neg, pos
         else:
