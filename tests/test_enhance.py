@@ -223,3 +223,30 @@ def test_recon_residual_cap_bounds_blowup(rng):
     a = healthy_c.enhance(mixed, pos, neg)["denoised"]
     bb = healthy_u.enhance(mixed, pos, neg)["denoised"]
     np.testing.assert_allclose(a, bb, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_ctx_cache_reuse_across_folder_chunks(rng):
+    """Folder mode (cli/_app.py) sends files through enhance_batch in
+    chunks of 8 with the SAME conditioning recordings replicated per
+    row: chunk 2 with identical contexts and the same padded batch size
+    must reuse the cached embedding batch (no re-encode), while a
+    ragged remainder chunk (different padded B) is a separate entry."""
+    cfg = Config.denoiser()
+    _, variables = init_variables(cfg, jax.random.PRNGKey(7), train=False)
+    enh = Enhancer(cfg, variables, window_chunk=32, buckets_seconds=(1,))
+    pos = np.zeros(4000)
+    neg = rng.standard_normal(5000) * 500
+
+    def chunk(n_files):
+        waves = [rng.standard_normal(8000) * 1000 for _ in range(n_files)]
+        return enh.enhance_batch(waves, [pos] * n_files, [neg] * n_files)
+
+    chunk(7)                                  # folder chunk 1 (pads to 8)
+    assert len(enh._ctx_cache) == 1
+    (k1, e1), = enh._ctx_cache.items()
+    chunk(7)                                  # folder chunk 2, same ctx
+    assert list(enh._ctx_cache) == [k1]
+    assert enh._ctx_cache[k1][0] is e1[0]     # same device buffers
+    chunk(3)                                  # ragged remainder (pads to 4)
+    assert len(enh._ctx_cache) == 2
