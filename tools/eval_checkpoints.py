@@ -36,6 +36,12 @@ def main():
     p.add_argument("--noise_wav_dir", required=True)
     p.add_argument("--eval_seeds", default="valid_seen")
     p.add_argument("--eval_utts", type=int, default=0)
+    p.add_argument("--eval_pairing", default="stride",
+                   choices=("stride", "queue"),
+                   help="eval noise/speech pairing: stride = this "
+                        "repo's default; queue = the reference's "
+                        "queue-order equivalent (config.py, round-5 "
+                        "flag) for reference-comparable numbers")
     p.add_argument("--jsonl", default="", help="append records here")
     args = p.parse_args()
 
@@ -50,7 +56,8 @@ def main():
            else Config.separator())
     cfg = cfg.replace(data=dataclasses.replace(
         cfg.data, speech_wav_dir=args.speech_wav_dir,
-        noise_wav_dir=args.noise_wav_dir, eval_seeds=args.eval_seeds))
+        noise_wav_dir=args.noise_wav_dir, eval_seeds=args.eval_seeds,
+        eval_pairing=args.eval_pairing))
 
     if args.steps:
         steps = [int(s) for s in args.steps.split(",")]
