@@ -36,9 +36,9 @@ def main():
     p.add_argument("--noise_wav_dir", required=True)
     p.add_argument("--eval_seeds", default="valid_seen")
     p.add_argument("--eval_utts", type=int, default=0)
-    p.add_argument("--eval_pairing", default="stride",
-                   choices=("stride", "queue"),
-                   help="eval noise/speech pairing: stride = this "
+    p.add_argument("--eval_pairing", default="wrap",
+                   choices=("wrap", "queue"),
+                   help="eval noise/speech pairing: wrap = this "
                         "repo's default; queue = the reference's "
                         "queue-order equivalent (config.py, round-5 "
                         "flag) for reference-comparable numbers")
