@@ -30,10 +30,24 @@ def _sidecar(path: str, tag: str) -> str:
 
 def load_enhancer(cfg: Config, checkpoint: str, window_chunk: int = 2048,
                   buckets_seconds=None, mesh: str = "off"):
+    import dataclasses
+
     import jax
     from nhans_tpu.infer.enhance import DEFAULT_BUCKETS_SECONDS, Enhancer
     from nhans_tpu.models import init_variables
     from nhans_tpu.train.checkpoint import load_variables
+
+    # MXU lane padding for the 90%-of-FLOPs main tower: inference is
+    # BIT-COMPATIBLE with unpadded checkpoints (parameter shapes are
+    # identical and outputs match exactly — ModelConfig.freq_pad_to,
+    # tests/test_model_oracle.py), and the 256-lane conv chain measures
+    # >2x faster on TPU, so serving defaults to it.
+    # NHANS_FREQ_PAD=0 reverts to the native geometry.
+    if cfg.model.freq_pad_to == 0:
+        pad = int(os.environ.get("NHANS_FREQ_PAD", "256") or 0)
+        if pad > cfg.model.num_features:
+            cfg = cfg.replace(model=dataclasses.replace(
+                cfg.model, freq_pad_to=pad))
 
     _, variables = init_variables(cfg, jax.random.PRNGKey(0), train=False)
     if checkpoint:

@@ -142,9 +142,34 @@ class Inject(nn.Module):
         return x + a + b + t + f
 
 
+def _same_pads(n: int, k: int, s: int):
+    """TF-SAME (low, high) padding and output size for a length-``n``
+    axis under kernel ``k`` / stride ``s``."""
+    out = -(-n // s)
+    total = max((out - 1) * s + k - n, 0)
+    return total // 2, total - total // 2, out
+
+
 class CondResBlock(nn.Module):
     """``resnet_block`` (reference main.py:126-187): residual conv block
-    with conditioning injected after each of the two convolutions."""
+    with conditioning injected after each of the two convolutions.
+
+    ``freq_valid`` > 0 enables the MXU lane-padded geometry
+    (ModelConfig.freq_pad_to): the incoming frequency axis is wider than
+    the model's true spectrum (e.g. 256 lanes carrying 201 bins + zeros)
+    because 2^n frequency sizes conv >2x faster on TPU than the native
+    201 -> 101 -> 51 -> 26 chain (tools/profile_bf16.py measurement).
+    Exactness is preserved by (a) convolving with EXPLICIT padding equal
+    to what TF-SAME would apply at the TRUE size — SAME's low-pad
+    depends on input size, so letting XLA derive it from the padded
+    width would shift the output grid — and (b) re-zeroing the dead
+    columns after every conv stage so boundary taps keep reading the
+    zeros that SAME padding would have supplied.  At inference
+    (train=False) every BatchNorm is a per-channel affine from EMA
+    stats, so outputs in the valid region are BIT-COMPATIBLE with the
+    unpadded model under the same checkpoint (tests/test_model_oracle).
+    Under train=True, batch statistics include the zero columns, so a
+    freq-padded model trains its own (equally valid) stats."""
 
     features: int
     kernel: int
@@ -154,6 +179,7 @@ class CondResBlock(nn.Module):
     b_init: float = 0.0
     bn_decay: float = 0.95
     dtype: Dtype = jnp.float32
+    freq_valid: int = 0
 
     @nn.compact
     def __call__(self, x, emb_a, emb_b, train: bool):
@@ -161,14 +187,33 @@ class CondResBlock(nn.Module):
         p = dict(w_std=self.w_std, b_init=self.b_init, dtype=self.dtype)
         inj = dict(hidden=self.hidden, w_std=self.w_std,
                    bn_decay=self.bn_decay, dtype=self.dtype)
+        fv = self.freq_valid
+        if fv:
+            tl, th, _ = _same_pads(x.shape[1], k, s)
+            fl, fh, fv1 = _same_pads(fv, k, s)
+            pad1 = ((tl, th), (fl, fh))
+            tl2, th2, _ = _same_pads(-(-x.shape[1] // s), k, 1)
+            fl2, fh2, _ = _same_pads(fv1, k, 1)
+            pad2 = ((tl2, th2), (fl2, fh2))
+
+            def fmask(y, valid):
+                keep = (jnp.arange(y.shape[2]) < valid)[None, None, :,
+                                                        None]
+                return y * keep.astype(y.dtype)
+        else:
+            pad1 = pad2 = "SAME"
+            fv1 = 0
+            fmask = None
         path1 = Conv(self.features, (k, k), (s, s), use_bias=False,
-                     name="conv1", **p)(x)
+                     padding=pad1, name="conv1", **p)(x)
         path1 = Inject(self.features, name="inject1", **inj)(
             path1, emb_a, emb_b, train)
         path1 = nn.relu(BatchNorm(self.bn_decay, dtype=self.dtype,
                                   name="bn1")(path1, train))
+        if fv:
+            path1 = fmask(path1, fv1)
         path1 = Conv(self.features, (k, k), (1, 1), use_bias=True,
-                     name="conv2", **p)(path1)
+                     padding=pad2, name="conv2", **p)(path1)
         path1 = Inject(self.features, name="inject2", **inj)(
             path1, emb_a, emb_b, train)
         if x.shape[-1] == self.features:
@@ -178,7 +223,10 @@ class CondResBlock(nn.Module):
                          name="transform", **p)(x)
         out = BatchNorm(self.bn_decay, dtype=self.dtype,
                         name="bn_out")(path1 + path2, train)
-        return nn.relu(out)
+        out = nn.relu(out)
+        if fv:
+            out = fmask(out, fv1)
+        return out
 
 
 class NHANSNet(nn.Module):
@@ -228,13 +276,30 @@ class NHANSNet(nn.Module):
             return emb_a, emb_b
 
         out = mixed[..., None]
+        # MXU lane padding (ModelConfig.freq_pad_to): carry the 201-bin
+        # spectrum on a 2^n-wide frequency axis — the conv chain
+        # 256 -> 128 -> 64 -> 32 measures >2x faster than the native
+        # 201 -> 101 -> 51 -> 26 on TPU (tools/profile_bf16.py), and the
+        # per-block explicit-pad + dead-column masking (CondResBlock)
+        # keeps inference outputs bit-compatible with unpadded
+        # checkpoints.
+        fpad = cfg.freq_pad_to
+        fv = 0
+        if fpad and fpad > out.shape[2]:
+            fv = out.shape[2]
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, fpad - fv), (0, 0)))
         block_cls = (nn.remat(CondResBlock, static_argnums=(4,))
                      if cfg.remat else CondResBlock)
         for i, (k, s, c) in enumerate(cfg.main_blocks):
             out = block_cls(c, k, s, cfg.pos_embed_hidden, cfg.w_std,
                             cfg.b_init, cfg.bn_decay, dtype,
+                            freq_valid=fv,
                             name=f"resblock{i + 1}")(
                                 out, emb_a, emb_b, train)
+            if fv:
+                fv = -(-fv // s)
+        if fpad and fv:
+            out = out[:, :, :fv, :]
 
         # Head: time-collapsing VALID conv (reference main.py:232-238)
         out = Conv(cfg.embedding_dim, (out.shape[1], 1), (1, 1),

@@ -63,3 +63,42 @@ def test_flax_matches_numpy_reference_oracle(rng):
     err = np.abs(got - ref)
     scale = np.abs(ref).max() + 1.0
     assert err.max() / scale < 2e-4, err.max()
+
+
+def test_freq_pad_inference_bit_compatible(rng):
+    """ModelConfig.freq_pad_to (MXU lane padding, round 5): at
+    inference the padded tower must produce EXACTLY the unpadded
+    model's outputs under the SAME variables — parameter shapes are
+    identical, convs use explicit SAME-equivalent padding computed at
+    the true frequency size, and dead columns are re-zeroed after every
+    conv stage.  This is what licenses serving's freq_pad_to=256
+    default on checkpoints trained without padding (cli/_app.py)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nhans_tpu.config import Config
+    from nhans_tpu.models import build_model, init_variables
+
+    cfg0 = Config.denoiser()
+    model0, variables = init_variables(cfg0, jax.random.PRNGKey(3),
+                                       train=False)
+    cfg_pad = cfg0.replace(model=dataclasses.replace(
+        cfg0.model, freq_pad_to=256))
+    model_pad = build_model(cfg_pad)
+
+    x = jnp.asarray(rng.standard_normal((2, 35, 201)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+    y0 = model0.apply(variables, x, None, None, False,
+                      emb_a=emb, emb_b=emb)
+    yp = model_pad.apply(variables, x, None, None, False,
+                         emb_a=emb, emb_b=emb)
+    assert y0.shape == yp.shape == (2, 201)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(yp))
+
+    # padded init must create the same parameter tree (shapes + names)
+    _, v_pad = init_variables(cfg_pad, jax.random.PRNGKey(3), train=False)
+    t0 = jax.tree_util.tree_map(lambda a: a.shape, variables)
+    tp = jax.tree_util.tree_map(lambda a: a.shape, v_pad)
+    assert t0 == tp
