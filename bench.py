@@ -32,9 +32,10 @@ def bench_train(args) -> None:
 
     cfg = Config.denoiser()
     import dataclasses
-    if args.dtype != "float32":
+    if args.dtype != "float32" or args.freq_pad_to:
         cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, compute_dtype=args.dtype))
+            cfg.model, compute_dtype=args.dtype,
+            freq_pad_to=args.freq_pad_to))
     # 64 windows per step = 16 utterances x 4 crops (reference mb=64)
     B = args.train_utts
     L = cfg.data.max_samples
@@ -226,6 +227,11 @@ def main() -> None:
     # bf16 MXU tiling, so keep full precision.  window_chunk=2048 is the
     # largest that fits HBM (4096 OOMs at 17.3G/15.75G).
     p.add_argument("--window_chunk", type=int, default=2048)
+    p.add_argument("--freq_pad_to", type=int, default=0,
+                   help="MXU lane padding for the tower frequency axis "
+                        "(ModelConfig.freq_pad_to).  infer mode: 0 = "
+                        "serving default (256), -1 = native geometry; "
+                        "train mode: 0 = native (opt-in like training)")
     p.add_argument("--dtype", default="float32",
                    choices=("float32", "bfloat16"))
     p.add_argument("--reference_root", default="/root/reference",
@@ -254,9 +260,14 @@ def main() -> None:
     from nhans_tpu.models import init_variables
 
     cfg = Config.denoiser()
-    if args.dtype != "float32":
+    # serving parity: the CLI path (cli/_app.py load_enhancer) defaults
+    # to the MXU lane-padded tower (bit-exact at inference), so the
+    # headline bench measures the same program; --freq_pad_to -1 forces
+    # the native geometry for A/B.
+    fpad = 256 if args.freq_pad_to == 0 else max(args.freq_pad_to, 0)
+    if args.dtype != "float32" or fpad:
         cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, compute_dtype=args.dtype))
+            cfg.model, compute_dtype=args.dtype, freq_pad_to=fpad))
     _, variables = init_variables(cfg, jax.random.PRNGKey(0), train=False)
     enh = Enhancer(cfg, variables, window_chunk=args.window_chunk)
 
