@@ -144,7 +144,11 @@ def bench_suite(args) -> None:
         return round(secs / dt, 2)
 
     configs = {}
+    import dataclasses as _dc
+    fpad = 256 if args.freq_pad_to == 0 else max(args.freq_pad_to, 0)
     cfg = Config.denoiser()
+    if fpad:  # serving parity (see infer mode)
+        cfg = cfg.replace(model=_dc.replace(cfg.model, freq_pad_to=fpad))
     _, var_d = init_variables(cfg, jax.random.PRNGKey(0), train=False)
     enh = Enhancer(cfg, var_d, window_chunk=args.window_chunk)
 
@@ -172,6 +176,9 @@ def bench_suite(args) -> None:
     configs["folder_batch_demo7"] = timed(enh, mixed, poss, negs)
     # 4. separation on mixed.wav with speaker contexts
     scfg = Config.separator()
+    if fpad:
+        scfg = scfg.replace(model=_dc.replace(scfg.model,
+                                              freq_pad_to=fpad))
     _, var_s = init_variables(scfg, jax.random.PRNGKey(0), train=False)
     senh = Enhancer(scfg, var_s, window_chunk=args.window_chunk)
     configs["separation_mixed"] = timed(
