@@ -250,3 +250,26 @@ def test_ctx_cache_reuse_across_folder_chunks(rng):
     assert enh._ctx_cache[k1][0] is e1[0]     # same device buffers
     chunk(3)                                  # ragged remainder (pads to 4)
     assert len(enh._ctx_cache) == 2
+
+
+@pytest.mark.slow
+def test_enhancer_freq_pad_bit_exact(rng):
+    """Serving defaults to the MXU lane-padded tower (cli/_app.py): the
+    full Enhancer pipeline under freq_pad_to=256 must reproduce the
+    native-geometry output exactly with the same variables."""
+    import dataclasses
+
+    cfg0 = Config.denoiser()
+    _, variables = init_variables(cfg0, jax.random.PRNGKey(11),
+                                  train=False)
+    cfg_pad = cfg0.replace(model=dataclasses.replace(
+        cfg0.model, freq_pad_to=256))
+    mixed = rng.standard_normal(12000) * 1000
+    pos = np.zeros(4000)
+    neg = rng.standard_normal(9000) * 500
+    out0 = Enhancer(cfg0, variables, window_chunk=32,
+                    buckets_seconds=(1,)).enhance(mixed, pos, neg)
+    outp = Enhancer(cfg_pad, variables, window_chunk=32,
+                    buckets_seconds=(1,)).enhance(mixed, pos, neg)
+    np.testing.assert_array_equal(np.asarray(out0["denoised"]),
+                                  np.asarray(outp["denoised"]))
