@@ -76,9 +76,14 @@ def find_examples(root: str, task: str):
                  for f in os.listdir(d) if f.endswith(".wav")}
 
         def pick(*keys):
+            # EXACT kind-token match: substring matching silently
+            # hijacked the separator probe for two rounds ("noise" is a
+            # substring of "denoised", so the published OUTPUT became
+            # the interference context and derive_separator_contexts
+            # never ran — found round 5)
             for k in keys:
                 for name, p in files.items():
-                    if k in name.lower():
+                    if name.lower() == k:
                         return p
             return None
 
