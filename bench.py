@@ -145,7 +145,7 @@ def bench_suite(args) -> None:
 
     configs = {}
     import dataclasses as _dc
-    fpad = 256 if args.freq_pad_to == 0 else max(args.freq_pad_to, 0)
+    fpad = max(args.freq_pad_to, 0)
     cfg = Config.denoiser()
     if fpad:  # serving parity (see infer mode)
         cfg = cfg.replace(model=_dc.replace(cfg.model, freq_pad_to=fpad))
@@ -236,9 +236,9 @@ def main() -> None:
     p.add_argument("--window_chunk", type=int, default=2048)
     p.add_argument("--freq_pad_to", type=int, default=0,
                    help="MXU lane padding for the tower frequency axis "
-                        "(ModelConfig.freq_pad_to).  infer mode: 0 = "
-                        "serving default (256), -1 = native geometry; "
-                        "train mode: 0 = native (opt-in like training)")
+                        "(ModelConfig.freq_pad_to); 0 = native "
+                        "geometry (serving default — the padding win "
+                        "is regime-dependent, docs/PROFILE.md)")
     p.add_argument("--dtype", default="float32",
                    choices=("float32", "bfloat16"))
     p.add_argument("--reference_root", default="/root/reference",
@@ -267,11 +267,10 @@ def main() -> None:
     from nhans_tpu.models import init_variables
 
     cfg = Config.denoiser()
-    # serving parity: the CLI path (cli/_app.py load_enhancer) defaults
-    # to the MXU lane-padded tower (bit-exact at inference), so the
-    # headline bench measures the same program; --freq_pad_to -1 forces
-    # the native geometry for A/B.
-    fpad = 256 if args.freq_pad_to == 0 else max(args.freq_pad_to, 0)
+    # serving parity: native geometry (the measured-faster regime at
+    # 2048-window serving chunks — docs/PROFILE.md round 5);
+    # --freq_pad_to 256 A/Bs the lane-padded tower.
+    fpad = max(args.freq_pad_to, 0)
     if args.dtype != "float32" or fpad:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, compute_dtype=args.dtype, freq_pad_to=fpad))

@@ -37,14 +37,15 @@ def load_enhancer(cfg: Config, checkpoint: str, window_chunk: int = 2048,
     from nhans_tpu.models import init_variables
     from nhans_tpu.train.checkpoint import load_variables
 
-    # MXU lane padding for the 90%-of-FLOPs main tower: inference is
-    # BIT-COMPATIBLE with unpadded checkpoints (parameter shapes are
-    # identical and outputs match exactly — ModelConfig.freq_pad_to,
-    # tests/test_model_oracle.py), and the 256-lane conv chain measures
-    # >2x faster on TPU, so serving defaults to it.
-    # NHANS_FREQ_PAD=0 reverts to the native geometry.
+    # MXU lane padding (ModelConfig.freq_pad_to) is available for
+    # serving via NHANS_FREQ_PAD=256 — bit-compatible with unpadded
+    # checkpoints (tests/test_model_oracle.py) — but is NOT the serving
+    # default: the padding win is regime-dependent (measured round 5:
+    # +2.25x at the 64-window training batch, −18% RTF at the
+    # 2048-window serving chunks where the native geometry already
+    # tiles the MXU; docs/PROFILE.md).
     if cfg.model.freq_pad_to == 0:
-        pad = int(os.environ.get("NHANS_FREQ_PAD", "256") or 0)
+        pad = int(os.environ.get("NHANS_FREQ_PAD", "0") or 0)
         if pad > cfg.model.num_features:
             cfg = cfg.replace(model=dataclasses.replace(
                 cfg.model, freq_pad_to=pad))

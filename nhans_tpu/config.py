@@ -104,12 +104,18 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # MXU lane padding for the main tower's frequency axis: carry the
     # 201-bin spectrum on this many lanes (0 = off).  256 makes the
-    # stride-2 conv chain 256->128->64->32 instead of 201->101->51->26,
-    # which measures >2x faster on TPU (tools/profile_bf16.py: 11.5k ->
-    # 25.9k windows/s fwd+bwd at batch 64).  INFERENCE outputs are
-    # bit-compatible with unpadded checkpoints (explicit SAME-equivalent
-    # padding + dead-column masks, nn/model.py CondResBlock); training
-    # under padding learns its own BatchNorm statistics.
+    # stride-2 conv chain 256->128->64->32 instead of 201->101->51->26.
+    # The win is REGIME-DEPENDENT (measured round 5, docs/PROFILE.md):
+    # +2.25x fwd+bwd at the 64-window TRAINING batch (where the odd
+    # geometry starves the MXU) but -18% end-to-end RTF at the
+    # 2048-window serving chunks (where native already tiles well and
+    # the 27% padded FLOPs + masks cost net time) — so it is a
+    # TRAINING lever (--freq_pad_to 256), off for serving by default
+    # (NHANS_FREQ_PAD=256 opts in).  INFERENCE outputs are
+    # bit-compatible with unpadded checkpoints either way (explicit
+    # SAME-equivalent padding + dead-column masks, nn/model.py
+    # CondResBlock); training under padding learns its own BatchNorm
+    # statistics.
     freq_pad_to: int = 0
     # Rematerialize main-tower blocks on the backward pass (trade FLOPs
     # for activation memory at large batches; jax.checkpoint).
